@@ -1,0 +1,549 @@
+"""Procedural towns: host-side (numpy) generation of road networks.
+
+The reference's towns are UE4 assets streamed from the CARLA server
+(`rl/environments/carla/environment.py:257-279` loads them by name, the map
+topology is read through `navigation/global_route_planner_dao.py:27-71`).
+Here each town is generated procedurally from its name's seed as:
+
+  * a lane graph: directed lane-center polylines densified at ~2 m resolution
+    (the DAO's `sampling_resolution`), with successor links across junctions,
+  * spawn points along lanes (mirroring `map.get_spawn_points()`),
+  * traffic-light cycles per junction,
+  * a semantic texture (uint8 class map over the town extent) consumed by the
+    camera rasterizer, plus building boxes for the above-horizon pass,
+  * a distance-to-road field used for off-road ("other" obstacle) collisions.
+
+All eight evaluation towns (Town01..Town07, Town10) exist with different
+sizes/topologies.  Arrays are padded to a common shape and stacked into a
+`TownBank` so the simulation can switch towns on-device by indexing
+(`random_towns` support, reference `core/carla_env.py:214-221`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+LANE_WIDTH = 3.5           # m, CARLA-typical driving lane
+SIDEWALK_WIDTH = 2.0       # m
+WAYPOINT_RES = 2.0         # m, DAO sampling_resolution equivalent
+JUNCTION_RADIUS = 9.0      # m, radius around a node considered "junction"
+TEXTURE_RES = 0.5          # m / texel of the semantic map
+DISTANCE_RES = 1.0         # m / texel of the distance-to-road field
+
+# semantic classes (rasterizer palette indexes)
+CLASS_TERRAIN = 0
+CLASS_ROAD = 1
+CLASS_MARKING = 2
+CLASS_SIDEWALK = 3
+CLASS_BUILDING = 4
+CLASS_CROSSING = 5
+
+MAX_SUCCESSORS = 3
+
+# town name -> (blocks_x, blocks_y, block_size, drop_fraction, speed_limit kmh)
+TOWN_SPECS = {
+    "Town01": (4, 3, 90.0, 0.10, 30.0),
+    "Town02": (3, 3, 80.0, 0.05, 30.0),
+    "Town03": (5, 4, 100.0, 0.15, 30.0),
+    "Town04": (5, 5, 110.0, 0.20, 40.0),
+    "Town05": (5, 4, 95.0, 0.12, 30.0),
+    "Town06": (6, 3, 105.0, 0.18, 40.0),
+    "Town07": (3, 4, 85.0, 0.25, 30.0),
+    "Town10": (4, 4, 90.0, 0.08, 30.0),
+    "Town10HD": (4, 4, 90.0, 0.08, 30.0),
+}
+
+
+def _seed_from_name(name: str) -> int:
+    return int(hashlib.md5(name.encode()).hexdigest()[:8], 16)
+
+
+@dataclass
+class Lane:
+    """A directed lane between two junction nodes."""
+    src: int
+    dst: int
+    points: np.ndarray        # (n, 2) dense polyline incl. endpoints
+    yaws: np.ndarray          # (n,)
+
+
+@dataclass
+class TownData:
+    name: str
+    extent: Tuple[float, float]          # (width, height) in meters, origin at (0,0)
+    # dense waypoint arrays over ALL lanes (graph for NPCs / planner)
+    wp_xy: np.ndarray                    # (N, 2)
+    wp_yaw: np.ndarray                   # (N,)
+    wp_is_junction: np.ndarray           # (N,) bool
+    wp_speed_limit: np.ndarray           # (N,) km/h
+    wp_lane: np.ndarray                  # (N,) lane id
+    wp_next: np.ndarray                  # (N, MAX_SUCCESSORS) successor wp index (-1 pad)
+    wp_num_next: np.ndarray              # (N,)
+    wp_junction_id: np.ndarray           # (N,) id of junction ahead (-1 none); set near lane ends
+    wp_dist_to_junction: np.ndarray      # (N,) meters to the junction ahead (inf if none)
+    # lane bookkeeping (for the host-side A* planner)
+    lane_first_wp: np.ndarray            # (L,)
+    lane_last_wp: np.ndarray             # (L,)
+    lane_src: np.ndarray                 # (L,)
+    lane_dst: np.ndarray                 # (L,)
+    lane_length: np.ndarray              # (L,) meters
+    lane_successors: List[List[int]]     # per-lane successor lane ids
+    # junctions / lights
+    junction_xy: np.ndarray              # (J, 2)
+    junction_phase: np.ndarray           # (J,) phase offset (s)
+    # spawn points
+    spawn_xy: np.ndarray                 # (S, 2)
+    spawn_yaw: np.ndarray                # (S,)
+    spawn_wp: np.ndarray                 # (S,) waypoint index
+    # render / collision fields
+    texture: np.ndarray                  # (TH, TW) uint8 class map
+    texture_origin: np.ndarray           # (2,) world xy of texel (0,0)
+    texture_scale: float                 # meters per texel
+    dist_field: np.ndarray               # (DH, DW) float16 distance to road centerline
+    dist_origin: np.ndarray              # (2,)
+    dist_scale: float
+    buildings: np.ndarray                # (B, 5) cx, cy, half_w, half_h, height
+    nodes_xy: np.ndarray = field(default=None)
+
+
+def _build_grid_graph(rng: np.random.Generator, nx: int, ny: int, block: float,
+                      drop: float):
+    """Grid of nodes with jitter; some interior edges removed for variety."""
+    nodes = []
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            jitter = rng.uniform(-0.12, 0.12, size=2) * block
+            # keep the outer ring straight so the town has a clean boundary
+            if i in (0, nx):
+                jitter[0] = 0.0
+            if j in (0, ny):
+                jitter[1] = 0.0
+            nodes.append([60.0 + i * block + jitter[0], 60.0 + j * block + jitter[1]])
+    nodes = np.asarray(nodes)
+
+    def nid(i, j):
+        return j * (nx + 1) + i
+
+    edges = []
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            if i < nx:
+                edges.append((nid(i, j), nid(i + 1, j)))
+            if j < ny:
+                edges.append((nid(i, j), nid(i, j + 1)))
+
+    # drop some interior edges, keeping node degree >= 2
+    degree = np.zeros(len(nodes), int)
+    for a, b in edges:
+        degree[a] += 1
+        degree[b] += 1
+    keep = []
+    order = rng.permutation(len(edges))
+    drop_budget = int(drop * len(edges))
+    dropped = 0
+    is_border = lambda n: (nodes[n][0] in (60.0, 60.0 + nx * block)
+                           or nodes[n][1] in (60.0, 60.0 + ny * block))
+    drop_set = set()
+    for e_idx in order:
+        a, b = edges[e_idx]
+        if dropped < drop_budget and degree[a] > 2 and degree[b] > 2 \
+                and not (is_border(a) and is_border(b)):
+            drop_set.add(e_idx)
+            degree[a] -= 1
+            degree[b] -= 1
+            dropped += 1
+    keep = [e for k, e in enumerate(edges) if k not in drop_set]
+    return nodes, keep
+
+
+def _densify(p0: np.ndarray, p1: np.ndarray, res: float) -> np.ndarray:
+    d = float(np.linalg.norm(p1 - p0))
+    n = max(2, int(round(d / res)) + 1)
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    return p0[None] * (1 - t) + p1[None] * t
+
+
+def _bezier(p0, h0, p1, h1, res: float) -> np.ndarray:
+    """Cubic bezier from p0 (heading h0) to p1 (heading h1): smooth junction turns."""
+    d = float(np.linalg.norm(p1 - p0))
+    c0 = p0 + 0.4 * d * np.array([np.cos(h0), np.sin(h0)])
+    c1 = p1 - 0.4 * d * np.array([np.cos(h1), np.sin(h1)])
+    n = max(3, int(round(1.6 * d / res)) + 1)
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    pts = ((1 - t) ** 3 * p0 + 3 * (1 - t) ** 2 * t * c0
+           + 3 * (1 - t) * t ** 2 * c1 + t ** 3 * p1)
+    return pts
+
+
+def _polyline_yaws(points: np.ndarray) -> np.ndarray:
+    deltas = np.diff(points, axis=0)
+    yaws = np.arctan2(deltas[:, 1], deltas[:, 0])
+    return np.concatenate([yaws, yaws[-1:]])
+
+
+def build_town(name: str) -> TownData:
+    if name not in TOWN_SPECS:
+        raise ValueError(f"Unknown town {name!r}; one of {sorted(TOWN_SPECS)}")
+    nx, ny, block, drop, speed_limit = TOWN_SPECS[name]
+    rng = np.random.default_rng(_seed_from_name(name))
+    nodes, edges = _build_grid_graph(rng, nx, ny, block, drop)
+
+    half = LANE_WIDTH / 2.0
+
+    # Build two directed lanes per undirected edge (right-hand traffic: each
+    # directed lane is offset to ITS right of the centerline).
+    lanes: List[Lane] = []
+    for a, b in edges:
+        for (s, d) in ((a, b), (b, a)):
+            p0, p1 = nodes[s].copy(), nodes[d].copy()
+            fwd = (p1 - p0) / np.linalg.norm(p1 - p0)
+            right = np.array([fwd[1], -fwd[0]])
+            # shrink endpoints toward the node by the junction radius so the
+            # straight part stops at the junction edge
+            p0s = p0 + fwd * (JUNCTION_RADIUS * 0.8) + right * half
+            p1s = p1 - fwd * (JUNCTION_RADIUS * 0.8) + right * half
+            pts = _densify(p0s, p1s, WAYPOINT_RES)
+            lanes.append(Lane(src=s, dst=d, points=pts, yaws=_polyline_yaws(pts)))
+
+    # lane successors: lanes leaving lane.dst, excluding the U-turn back to src
+    out_lanes: Dict[int, List[int]] = {}
+    for li, lane in enumerate(lanes):
+        out_lanes.setdefault(lane.src, []).append(li)
+    lane_successors: List[List[int]] = []
+    for li, lane in enumerate(lanes):
+        outs = [lj for lj in out_lanes.get(lane.dst, []) if lanes[lj].dst != lane.src]
+        if not outs:  # dead end: allow the U-turn
+            outs = [lj for lj in out_lanes.get(lane.dst, [])]
+        lane_successors.append(outs[:MAX_SUCCESSORS])
+
+    # junction connector curves are appended to the SOURCE lane's polyline?
+    # No — keep lanes straight; successors jump across the junction and the
+    # bezier fills the gap ONLY in planned routes (see route.py). For the NPC
+    # graph we add the connector points to the successor hop by inserting
+    # short connector lanes.
+    connector_of: Dict[Tuple[int, int], int] = {}
+    base_lane_count = len(lanes)
+    new_successors: List[List[int]] = [list() for _ in range(base_lane_count)]
+    for li in range(base_lane_count):
+        for lj in lane_successors[li]:
+            key = (li, lj)
+            if key not in connector_of:
+                p0 = lanes[li].points[-1]
+                h0 = lanes[li].yaws[-1]
+                p1 = lanes[lj].points[0]
+                h1 = lanes[lj].yaws[0]
+                pts = _bezier(p0, h0, p1, h1, WAYPOINT_RES)[1:-1]
+                if len(pts) < 2:
+                    pts = _densify(p0, p1, WAYPOINT_RES)[1:-1]
+                if len(pts) < 2:
+                    pts = np.stack([(p0 + p1) / 2, (p0 * 0.25 + p1 * 0.75)])
+                conn = Lane(src=lanes[li].dst, dst=lanes[li].dst,
+                            points=pts, yaws=_polyline_yaws(pts))
+                connector_of[key] = len(lanes)
+                lanes.append(conn)
+            new_successors[li].append(connector_of[key])
+    # connectors' successors are the real target lanes
+    connector_successors = {}
+    for (li, lj), ci in connector_of.items():
+        connector_successors.setdefault(ci, []).append(lj)
+    all_successors = new_successors + [connector_successors[ci]
+                                       for ci in range(base_lane_count, len(lanes))]
+
+    # ---- flatten to dense waypoint arrays ----
+    wp_xy, wp_yaw, wp_lane = [], [], []
+    lane_first, lane_last = [], []
+    for li, lane in enumerate(lanes):
+        lane_first.append(len(wp_xy))
+        wp_xy.extend(lane.points.tolist())
+        wp_yaw.extend(lane.yaws.tolist())
+        wp_lane.extend([li] * len(lane.points))
+        lane_last.append(len(wp_xy) - 1)
+    wp_xy = np.asarray(wp_xy, np.float32)
+    wp_yaw = np.asarray(wp_yaw, np.float32)
+    wp_lane = np.asarray(wp_lane, np.int32)
+    n_wp = len(wp_xy)
+
+    wp_next = np.full((n_wp, MAX_SUCCESSORS), -1, np.int32)
+    wp_num_next = np.zeros(n_wp, np.int32)
+    for li in range(len(lanes)):
+        f, l = lane_first[li], lane_last[li]
+        # inside a lane: single successor = next waypoint
+        idx = np.arange(f, l)
+        wp_next[idx, 0] = idx + 1
+        wp_num_next[idx] = 1
+        # lane end: successors are the first waypoints of successor lanes
+        succ = all_successors[li]
+        for k, lj in enumerate(succ[:MAX_SUCCESSORS]):
+            wp_next[l, k] = lane_first[lj]
+        wp_num_next[l] = max(1, min(len(succ), MAX_SUCCESSORS))
+        if len(succ) == 0:
+            wp_next[l, 0] = l  # absorbing (shouldn't happen)
+
+    # junction flags: near any node
+    junction_xy = nodes.astype(np.float32)
+    d2 = ((wp_xy[:, None, :] - junction_xy[None, :, :]) ** 2).sum(-1)
+    nearest_junction = d2.argmin(1).astype(np.int32)
+    wp_is_junction = (d2.min(1) < JUNCTION_RADIUS ** 2)
+
+    # junction ahead + distance (walk each base lane backwards from its end)
+    wp_junction_id = np.full(n_wp, -1, np.int32)
+    wp_dist_to_junction = np.full(n_wp, np.inf, np.float32)
+    for li in range(base_lane_count):
+        f, l = lane_first[li], lane_last[li]
+        dst_j = lanes[li].dst
+        end = wp_xy[l]
+        d = np.linalg.norm(wp_xy[f:l + 1] - nodes[dst_j], axis=1)
+        wp_junction_id[f:l + 1] = dst_j
+        wp_dist_to_junction[f:l + 1] = d
+
+    wp_speed_limit = np.full(n_wp, speed_limit, np.float32)
+
+    # light phase offsets: deterministic per junction
+    junction_phase = (rng.uniform(0.0, 1.0, size=len(nodes)) * 24.0).astype(np.float32)
+
+    # ---- spawn points: every ~25 m along base (non-connector) lanes ----
+    spawn_xy, spawn_yaw, spawn_wp = [], [], []
+    for li in range(base_lane_count):
+        f, l = lane_first[li], lane_last[li]
+        step = max(1, int(25.0 / WAYPOINT_RES))
+        for w in range(f + 2, l - 2, step):
+            if not wp_is_junction[w]:
+                spawn_xy.append(wp_xy[w])
+                spawn_yaw.append(wp_yaw[w])
+                spawn_wp.append(w)
+    spawn_xy = np.asarray(spawn_xy, np.float32)
+    spawn_yaw = np.asarray(spawn_yaw, np.float32)
+    spawn_wp = np.asarray(spawn_wp, np.int32)
+
+    # ---- semantic texture + distance field + buildings ----
+    width = float(nodes[:, 0].max() + 60.0)
+    height = float(nodes[:, 1].max() + 60.0)
+    texture, tex_origin = _rasterize_town(nodes, edges, lanes[:base_lane_count],
+                                          width, height, rng)
+    buildings = _make_buildings(rng, nodes, edges, nx, ny, block)
+    _stamp_buildings(texture, tex_origin, TEXTURE_RES, buildings)
+
+    dist_field, dist_origin = _distance_field(nodes, edges, width, height)
+
+    return TownData(
+        name=name, extent=(width, height),
+        wp_xy=wp_xy, wp_yaw=wp_yaw,
+        wp_is_junction=wp_is_junction.astype(np.bool_),
+        wp_speed_limit=wp_speed_limit, wp_lane=wp_lane,
+        wp_next=wp_next, wp_num_next=wp_num_next,
+        wp_junction_id=wp_junction_id, wp_dist_to_junction=wp_dist_to_junction,
+        lane_first_wp=np.asarray(lane_first, np.int32),
+        lane_last_wp=np.asarray(lane_last, np.int32),
+        lane_src=np.asarray([ln.src for ln in lanes], np.int32),
+        lane_dst=np.asarray([ln.dst for ln in lanes], np.int32),
+        lane_length=np.asarray([_polyline_length(ln.points) for ln in lanes], np.float32),
+        lane_successors=all_successors,
+        junction_xy=junction_xy, junction_phase=junction_phase,
+        spawn_xy=spawn_xy, spawn_yaw=spawn_yaw, spawn_wp=spawn_wp,
+        texture=texture, texture_origin=tex_origin, texture_scale=TEXTURE_RES,
+        dist_field=dist_field, dist_origin=dist_origin, dist_scale=DISTANCE_RES,
+        buildings=buildings, nodes_xy=nodes.astype(np.float32),
+    )
+
+
+def _polyline_length(points: np.ndarray) -> float:
+    return float(np.linalg.norm(np.diff(points, axis=0), axis=1).sum())
+
+
+def _rasterize_town(nodes, edges, base_lanes, width, height, rng):
+    th = int(round(height / TEXTURE_RES))
+    tw = int(round(width / TEXTURE_RES))
+    tex = np.full((th, tw), CLASS_TERRAIN, np.uint8)
+    origin = np.zeros(2, np.float32)
+
+    ys, xs = np.mgrid[0:th, 0:tw]
+    px = (xs + 0.5) * TEXTURE_RES
+    py = (ys + 0.5) * TEXTURE_RES
+    pts = np.stack([px.ravel(), py.ravel()], axis=1)
+
+    road_half = LANE_WIDTH + 0.3          # two lanes + small shoulder
+    side_out = road_half + SIDEWALK_WIDTH
+
+    min_d = np.full(len(pts), np.inf, np.float32)
+    min_t = np.zeros(len(pts), np.float32)  # distance along nearest segment (for dashes)
+    for a, b in edges:
+        p0, p1 = nodes[a], nodes[b]
+        d, t = _point_segment_distance(pts, p0, p1)
+        closer = d < min_d
+        min_d = np.where(closer, d, min_d)
+        min_t = np.where(closer, t, min_t)
+
+    tex_flat = tex.ravel()
+    tex_flat[min_d < side_out] = CLASS_SIDEWALK
+    tex_flat[min_d < road_half] = CLASS_ROAD
+    # center line: dashed yellow-ish marking
+    dashed = (np.floor(min_t / 2.0) % 2 == 0)
+    tex_flat[(min_d < 0.15) & dashed] = CLASS_MARKING
+    # outer edge solid markings
+    tex_flat[(np.abs(min_d - (road_half - 0.2)) < 0.12)] = CLASS_MARKING
+    # pedestrian crossings near junctions
+    for n in nodes:
+        dn = np.linalg.norm(pts - n, axis=1)
+        band = (dn > JUNCTION_RADIUS * 0.85) & (dn < JUNCTION_RADIUS * 0.85 + 2.0) & (min_d < road_half)
+        stripes = (np.floor((pts[:, 0] + pts[:, 1]) / 0.6) % 2 == 0)
+        tex_flat[band & stripes] = CLASS_CROSSING
+    return tex_flat.reshape(th, tw), origin
+
+
+def _point_segment_distance(pts, p0, p1):
+    seg = p1 - p0
+    L2 = float(seg @ seg)
+    t = np.clip(((pts - p0) @ seg) / max(L2, 1e-9), 0.0, 1.0)
+    proj = p0[None] + t[:, None] * seg[None]
+    d = np.linalg.norm(pts - proj, axis=1)
+    return d.astype(np.float32), (t * np.sqrt(L2)).astype(np.float32)
+
+
+def _make_buildings(rng, nodes, edges, nx, ny, block):
+    """1-3 rectangular buildings per city block interior."""
+    buildings = []
+    margin = LANE_WIDTH + SIDEWALK_WIDTH + 4.0
+    edge_set = {tuple(sorted(e)) for e in edges}
+
+    def nid(i, j):
+        return j * (nx + 1) + i
+
+    for j in range(ny):
+        for i in range(nx):
+            corners = np.stack([nodes[nid(i, j)], nodes[nid(i + 1, j)],
+                                nodes[nid(i + 1, j + 1)], nodes[nid(i, j + 1)]])
+            lo = corners.min(0) + margin
+            hi = corners.max(0) - margin
+            if np.any(hi - lo < 12.0):
+                continue
+            for _ in range(int(rng.integers(1, 4))):
+                cx = rng.uniform(lo[0] + 6, hi[0] - 6)
+                cy = rng.uniform(lo[1] + 6, hi[1] - 6)
+                hw = rng.uniform(5.0, min(16.0, (hi[0] - lo[0]) / 2.2))
+                hh = rng.uniform(5.0, min(16.0, (hi[1] - lo[1]) / 2.2))
+                h = rng.uniform(6.0, 22.0)
+                buildings.append([cx, cy, hw, hh, h])
+    if not buildings:
+        buildings = [[-1000.0, -1000.0, 1.0, 1.0, 1.0]]
+    return np.asarray(buildings, np.float32)
+
+
+def _stamp_buildings(tex, origin, scale, buildings):
+    th, tw = tex.shape
+    for cx, cy, hw, hh, _ in buildings:
+        x0 = max(0, int((cx - hw - origin[0]) / scale))
+        x1 = min(tw, int((cx + hw - origin[0]) / scale))
+        y0 = max(0, int((cy - hh - origin[1]) / scale))
+        y1 = min(th, int((cy + hh - origin[1]) / scale))
+        tex[y0:y1, x0:x1] = CLASS_BUILDING
+
+
+def _distance_field(nodes, edges, width, height):
+    dh = int(round(height / DISTANCE_RES))
+    dw = int(round(width / DISTANCE_RES))
+    ys, xs = np.mgrid[0:dh, 0:dw]
+    pts = np.stack([(xs.ravel() + 0.5) * DISTANCE_RES,
+                    (ys.ravel() + 0.5) * DISTANCE_RES], axis=1)
+    min_d = np.full(len(pts), np.inf, np.float32)
+    for a, b in edges:
+        d, _ = _point_segment_distance(pts, nodes[a], nodes[b])
+        min_d = np.minimum(min_d, d)
+    return min_d.reshape(dh, dw).astype(np.float16), np.zeros(2, np.float32)
+
+
+# ------------------------------------------------------------------
+# Town bank: all towns padded & stacked for on-device town switching
+# ------------------------------------------------------------------
+
+_TOWN_CACHE: Dict[str, TownData] = {}
+
+
+def get_town(name: str) -> TownData:
+    if name not in _TOWN_CACHE:
+        _TOWN_CACHE[name] = build_town(name)
+    return _TOWN_CACHE[name]
+
+
+@dataclass
+class TownBank:
+    """Stacked per-town arrays (numpy, converted to jnp by the env)."""
+    names: List[str]
+    wp_xy: np.ndarray            # (T, Nmax, 2)
+    wp_yaw: np.ndarray           # (T, Nmax)
+    wp_is_junction: np.ndarray   # (T, Nmax)
+    wp_speed_limit: np.ndarray   # (T, Nmax)
+    wp_next: np.ndarray          # (T, Nmax, MAX_SUCCESSORS)
+    wp_num_next: np.ndarray      # (T, Nmax)
+    wp_junction_id: np.ndarray   # (T, Nmax)
+    wp_dist_to_junction: np.ndarray  # (T, Nmax)
+    num_wp: np.ndarray           # (T,)
+    junction_xy: np.ndarray      # (T, Jmax, 2)
+    junction_phase: np.ndarray   # (T, Jmax)
+    num_junctions: np.ndarray    # (T,)
+    spawn_xy: np.ndarray         # (T, Smax, 2)
+    spawn_yaw: np.ndarray        # (T, Smax)
+    spawn_wp: np.ndarray         # (T, Smax)
+    num_spawn: np.ndarray        # (T,)
+    texture: np.ndarray          # (T, TH, TW) uint8
+    texture_scale: float
+    dist_field: np.ndarray       # (T, DH, DW) float16
+    dist_scale: float
+    buildings: np.ndarray        # (T, Bmax, 5)
+    num_buildings: np.ndarray    # (T,)
+    extent: np.ndarray           # (T, 2)
+
+
+def _pad_to(arr: np.ndarray, n: int, fill=0):
+    pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad, constant_values=fill)
+
+
+def build_town_bank(names: List[str]) -> TownBank:
+    towns = [get_town(n) for n in names]
+    n_wp = max(len(t.wp_xy) for t in towns)
+    n_j = max(len(t.junction_xy) for t in towns)
+    n_s = max(len(t.spawn_xy) for t in towns)
+    n_b = max(len(t.buildings) for t in towns)
+    th = max(t.texture.shape[0] for t in towns)
+    tw = max(t.texture.shape[1] for t in towns)
+    dh = max(t.dist_field.shape[0] for t in towns)
+    dw = max(t.dist_field.shape[1] for t in towns)
+
+    def pad_tex(t):
+        return np.pad(t.texture, ((0, th - t.texture.shape[0]), (0, tw - t.texture.shape[1])))
+
+    def pad_dist(t):
+        return np.pad(t.dist_field.astype(np.float32),
+                      ((0, dh - t.dist_field.shape[0]), (0, dw - t.dist_field.shape[1])),
+                      constant_values=1e4).astype(np.float16)
+
+    return TownBank(
+        names=list(names),
+        wp_xy=np.stack([_pad_to(t.wp_xy, n_wp) for t in towns]),
+        wp_yaw=np.stack([_pad_to(t.wp_yaw, n_wp) for t in towns]),
+        wp_is_junction=np.stack([_pad_to(t.wp_is_junction, n_wp) for t in towns]),
+        wp_speed_limit=np.stack([_pad_to(t.wp_speed_limit, n_wp, 30.0) for t in towns]),
+        wp_next=np.stack([_pad_to(t.wp_next, n_wp, -1) for t in towns]),
+        wp_num_next=np.stack([_pad_to(t.wp_num_next, n_wp) for t in towns]),
+        wp_junction_id=np.stack([_pad_to(t.wp_junction_id, n_wp, -1) for t in towns]),
+        wp_dist_to_junction=np.stack([_pad_to(t.wp_dist_to_junction, n_wp, 1e9) for t in towns]),
+        num_wp=np.asarray([len(t.wp_xy) for t in towns], np.int32),
+        junction_xy=np.stack([_pad_to(t.junction_xy, n_j) for t in towns]),
+        junction_phase=np.stack([_pad_to(t.junction_phase, n_j) for t in towns]),
+        num_junctions=np.asarray([len(t.junction_xy) for t in towns], np.int32),
+        spawn_xy=np.stack([_pad_to(t.spawn_xy, n_s) for t in towns]),
+        spawn_yaw=np.stack([_pad_to(t.spawn_yaw, n_s) for t in towns]),
+        spawn_wp=np.stack([_pad_to(t.spawn_wp, n_s) for t in towns]),
+        num_spawn=np.asarray([len(t.spawn_xy) for t in towns], np.int32),
+        texture=np.stack([pad_tex(t) for t in towns]),
+        texture_scale=TEXTURE_RES,
+        dist_field=np.stack([pad_dist(t) for t in towns]),
+        dist_scale=DISTANCE_RES,
+        buildings=np.stack([_pad_to(t.buildings, n_b) for t in towns]),
+        num_buildings=np.asarray([len(t.buildings) for t in towns], np.int32),
+        extent=np.asarray([t.extent for t in towns], np.float32),
+    )
