@@ -1,0 +1,227 @@
+"""NPC traffic: waypoint-following vehicles and goal-walking pedestrians.
+
+Replaces CARLA's TrafficManager autopilot fleet and walker AI controllers
+(reference `rl/environments/carla/env_utils.py:195-336`) with vmapped
+lane-graph followers.  The vehicle controller distills the reference's
+privileged autopilot pipeline (`navigation/behavior_agent.py:363-432`):
+pure-pursuit steering toward the next waypoint (PID controller role,
+`navigation/controller.py:149-214`), speed tracking of the limit
+(`local_planner` role), time-to-collision braking for actors ahead
+(`behavior_agent.py:331-361`), and red-light stops (`agent.py:74-110`).
+
+Traffic lights: each junction runs a fixed 24 s two-phase cycle (NS/EW) with
+a per-junction phase offset; CARLA TrafficLightState encoding is preserved:
+Red=0, Yellow=1, Green=2, Off=3, Unknown=4 (`tools/utils.py:90-132`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from carla_driving_rl_agent_tpu.envs.dynamics import DT, MS_TO_KMH
+
+LIGHT_CYCLE = 24.0
+GREEN_TIME = 10.0
+YELLOW_TIME = 2.0
+
+LIGHT_RED, LIGHT_YELLOW, LIGHT_GREEN, LIGHT_OFF, LIGHT_UNKNOWN = range(5)
+
+VEHICLE_RADIUS = 1.1      # collision disc radius (two discs per vehicle)
+VEHICLE_HALF_LEN = 1.4    # disc centers at +-half_len along heading
+PED_RADIUS = 0.35
+PED_SPEED_MIN, PED_SPEED_MAX = 0.8, 1.8
+
+
+class NPCState(NamedTuple):
+    veh_xy: jax.Array      # (V, 2)
+    veh_yaw: jax.Array     # (V,)
+    veh_v: jax.Array       # (V,)
+    veh_wp: jax.Array      # (V,) current target waypoint index in the town graph
+    veh_active: jax.Array  # (V,) float mask
+    ped_xy: jax.Array      # (P, 2)
+    ped_goal: jax.Array    # (P, 2)
+    ped_speed: jax.Array   # (P,)
+    ped_active: jax.Array  # (P,)
+
+
+def light_phase_state(sim_time: jax.Array, phase_offset: jax.Array,
+                      approach_yaw: jax.Array) -> jax.Array:
+    """Traffic-light state for a given junction approach direction."""
+    t = jnp.mod(sim_time + phase_offset, LIGHT_CYCLE)
+    # EW axis gets the first green window, NS the second
+    is_ew = jnp.abs(jnp.cos(approach_yaw)) >= jnp.abs(jnp.sin(approach_yaw))
+    t_local = jnp.where(is_ew, t, jnp.mod(t + LIGHT_CYCLE / 2.0, LIGHT_CYCLE))
+    state = jnp.where(t_local < GREEN_TIME, LIGHT_GREEN,
+                      jnp.where(t_local < GREEN_TIME + YELLOW_TIME, LIGHT_YELLOW, LIGHT_RED))
+    return state.astype(jnp.int32)
+
+
+def init_npcs(key: jax.Array, town, town_id: jax.Array,
+              num_vehicles: int, num_pedestrians: int,
+              ego_xy: jax.Array, v_max: int, p_max: int,
+              min_ego_distance: float = 20.0) -> NPCState:
+    """Spawn NPCs on spawn points / sidewalk offsets, masked to the stage's
+    traffic preset (reference `env_utils.py:195-336`; spawn specs
+    `core/learning.py:485-487`)."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    n_spawn = town.num_spawn[town_id]
+
+    # vehicles: random distinct-ish spawn points, not too close to ego
+    s_idx = jax.random.randint(k1, (v_max,), 0, jnp.maximum(n_spawn, 1))
+    sxy = town.spawn_xy[town_id][s_idx]
+    syaw = town.spawn_yaw[town_id][s_idx]
+    swp = town.spawn_wp[town_id][s_idx]
+    far_from_ego = jnp.linalg.norm(sxy - ego_xy[None], axis=-1) > min_ego_distance
+    slot_on = (jnp.arange(v_max) < num_vehicles) & far_from_ego
+    # avoid stacking two NPCs on the same spawn: deactivate duplicates
+    same = (s_idx[:, None] == s_idx[None, :]) & (jnp.arange(v_max)[:, None] > jnp.arange(v_max)[None, :])
+    slot_on = slot_on & ~jnp.any(same, axis=1)
+
+    veh = dict(
+        veh_xy=sxy, veh_yaw=syaw,
+        veh_v=jnp.zeros(v_max),
+        veh_wp=swp.astype(jnp.int32),
+        veh_active=slot_on.astype(jnp.float32),
+    )
+
+    # pedestrians: offset from random waypoints onto the sidewalk side
+    n_wp = town.num_wp[town_id]
+    w_idx = jax.random.randint(k2, (p_max,), 0, jnp.maximum(n_wp, 1))
+    wxy = town.wp_xy[town_id][w_idx]
+    wyaw = town.wp_yaw[town_id][w_idx]
+    side = jnp.sign(jax.random.normal(k3, (p_max,)))
+    offset = 4.5 + jax.random.uniform(k4, (p_max,)) * 1.5
+    normal = jnp.stack([-jnp.sin(wyaw), jnp.cos(wyaw)], axis=-1)
+    pxy = wxy + side[:, None] * offset[:, None] * normal
+    ped_on = (jnp.arange(p_max) < num_pedestrians)
+    goals = _sample_ped_goals(k5, town, town_id, p_max)
+    ped = dict(
+        ped_xy=pxy, ped_goal=goals,
+        ped_speed=PED_SPEED_MIN + jax.random.uniform(k5, (p_max,)) * (PED_SPEED_MAX - PED_SPEED_MIN),
+        ped_active=ped_on.astype(jnp.float32),
+    )
+    return NPCState(**veh, **ped)
+
+
+def _sample_ped_goals(key, town, town_id, p_max):
+    k1, k2, k3 = jax.random.split(key, 3)
+    n_wp = town.num_wp[town_id]
+    w_idx = jax.random.randint(k1, (p_max,), 0, jnp.maximum(n_wp, 1))
+    wxy = town.wp_xy[town_id][w_idx]
+    wyaw = town.wp_yaw[town_id][w_idx]
+    side = jnp.sign(jax.random.normal(k2, (p_max,)))
+    offset = 4.0 + jax.random.uniform(k3, (p_max,)) * 3.0
+    normal = jnp.stack([-jnp.sin(wyaw), jnp.cos(wyaw)], axis=-1)
+    return wxy + side[:, None] * offset[:, None] * normal
+
+
+def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
+              sim_time: jax.Array, ego_xy: jax.Array, ego_v: jax.Array,
+              ego_yaw: jax.Array, speed_factor: float = 0.8) -> NPCState:
+    """Advance all NPC vehicles and pedestrians one tick."""
+    wp_xy = town.wp_xy[town_id]
+    wp_next = town.wp_next[town_id]
+    wp_num_next = town.wp_num_next[town_id]
+    wp_speed = town.wp_speed_limit[town_id]
+    wp_dj = town.wp_dist_to_junction[town_id]
+    wp_jid = town.wp_junction_id[town_id]
+    j_phase = town.junction_phase[town_id]
+
+    # ---- vehicles ----
+    target = wp_xy[npc.veh_wp]                       # (V, 2)
+    to_t = target - npc.veh_xy
+    dist_t = jnp.linalg.norm(to_t, axis=-1)
+    # advance waypoint when close; pick a successor branch randomly at lane ends
+    k_branch, key = jax.random.split(key)
+    branch = jax.random.randint(k_branch, npc.veh_wp.shape, 0, 3)
+    branch = jnp.minimum(branch, jnp.maximum(wp_num_next[npc.veh_wp] - 1, 0))
+    nxt = wp_next[npc.veh_wp, branch]
+    nxt = jnp.where(nxt < 0, wp_next[npc.veh_wp, 0], nxt)
+    nxt = jnp.where(nxt < 0, npc.veh_wp, nxt)
+    reached = dist_t < 2.5
+    new_wp = jnp.where(reached, nxt, npc.veh_wp).astype(jnp.int32)
+
+    target = wp_xy[new_wp]
+    to_t = target - npc.veh_xy
+    desired_yaw = jnp.arctan2(to_t[:, 1], to_t[:, 0])
+    yaw_err = jnp.arctan2(jnp.sin(desired_yaw - npc.veh_yaw),
+                          jnp.cos(desired_yaw - npc.veh_yaw))
+
+    # hazard check: nearest actor in a forward cone (vehicles + ego + peds)
+    fwd = jnp.stack([jnp.cos(npc.veh_yaw), jnp.sin(npc.veh_yaw)], axis=-1)
+    all_xy = jnp.concatenate([npc.veh_xy, ego_xy[None], npc.ped_xy], axis=0)
+    all_active = jnp.concatenate([npc.veh_active, jnp.ones(1), npc.ped_active], axis=0)
+    rel = all_xy[None, :, :] - npc.veh_xy[:, None, :]          # (V, A, 2)
+    d_all = jnp.linalg.norm(rel, axis=-1)
+    ahead = jnp.einsum("vad,vd->va", rel, fwd) > 0.0
+    cos_ang = jnp.einsum("vad,vd->va", rel, fwd) / jnp.maximum(d_all, 1e-3)
+    in_cone = ahead & (cos_ang > 0.85) & (d_all > 0.1)
+    d_hazard = jnp.min(jnp.where(in_cone & (all_active > 0), d_all, 1e6), axis=1)
+
+    # red light stop: approaching a junction with a red/yellow light
+    my_jid = wp_jid[new_wp]
+    my_dj = wp_dj[new_wp]
+    light = light_phase_state(sim_time, j_phase[jnp.maximum(my_jid, 0)], npc.veh_yaw)
+    at_red = (my_jid >= 0) & (my_dj < 14.0) & (my_dj > 3.0) & (light != LIGHT_GREEN)
+
+    target_speed = wp_speed[new_wp] / MS_TO_KMH * speed_factor
+    target_speed = jnp.where(d_hazard < 18.0, target_speed * (d_hazard - 6.0) / 12.0, target_speed)
+    target_speed = jnp.where(at_red, 0.0, jnp.maximum(target_speed, 0.0))
+
+    accel = jnp.clip((target_speed - npc.veh_v) / DT, -8.0, 3.0)
+    v_new = jnp.maximum(npc.veh_v + accel * DT, 0.0)
+    yaw_rate = jnp.clip(2.2 * yaw_err, -1.6, 1.6) * jnp.minimum(v_new / 3.0, 1.0)
+    yaw_new = npc.veh_yaw + yaw_rate * DT
+    yaw_new = jnp.arctan2(jnp.sin(yaw_new), jnp.cos(yaw_new))
+    xy_new = npc.veh_xy + v_new[:, None] * jnp.stack([jnp.cos(yaw_new), jnp.sin(yaw_new)], -1) * DT
+
+    act = npc.veh_active[:, None]
+    veh_xy = jnp.where(act > 0, xy_new, npc.veh_xy)
+    veh_yaw = jnp.where(npc.veh_active > 0, yaw_new, npc.veh_yaw)
+    veh_v = jnp.where(npc.veh_active > 0, v_new, npc.veh_v)
+
+    # ---- pedestrians ----
+    to_goal = npc.ped_goal - npc.ped_xy
+    d_goal = jnp.linalg.norm(to_goal, axis=-1)
+    dir_goal = to_goal / jnp.maximum(d_goal[:, None], 1e-3)
+    ped_xy_new = npc.ped_xy + dir_goal * npc.ped_speed[:, None] * DT
+    k_goal, key = jax.random.split(key)
+    new_goals = _sample_ped_goals(k_goal, town, town_id, npc.ped_xy.shape[0])
+    reached_goal = d_goal < 1.0
+    ped_goal = jnp.where(reached_goal[:, None], new_goals, npc.ped_goal)
+    pact = npc.ped_active[:, None]
+    ped_xy = jnp.where(pact > 0, ped_xy_new, npc.ped_xy)
+
+    return NPCState(veh_xy=veh_xy, veh_yaw=veh_yaw, veh_v=veh_v,
+                    veh_wp=new_wp, veh_active=npc.veh_active,
+                    ped_xy=ped_xy, ped_goal=ped_goal,
+                    ped_speed=npc.ped_speed, ped_active=npc.ped_active)
+
+
+def collision_check(ego_xy: jax.Array, ego_yaw: jax.Array, npc: NPCState,
+                    off_road_distance: jax.Array,
+                    off_road_threshold: float = 7.0):
+    """Collision flags for the ego against NPC vehicles, pedestrians, and
+    static obstacles (off-road = hitting fences/poles/buildings).
+
+    Returns (hit_vehicle, hit_pedestrian, hit_other) booleans.
+    Reference collision typing: `core/carla_env.py:254-269`.
+    """
+    fwd = jnp.stack([jnp.cos(ego_yaw), jnp.sin(ego_yaw)], axis=-1)
+    ego_discs = jnp.stack([ego_xy + VEHICLE_HALF_LEN * fwd,
+                           ego_xy - VEHICLE_HALF_LEN * fwd])   # (2, 2)
+
+    vfwd = jnp.stack([jnp.cos(npc.veh_yaw), jnp.sin(npc.veh_yaw)], axis=-1)
+    veh_discs = jnp.stack([npc.veh_xy + VEHICLE_HALF_LEN * vfwd,
+                           npc.veh_xy - VEHICLE_HALF_LEN * vfwd], axis=1)  # (V, 2, 2)
+    d_veh = jnp.linalg.norm(ego_discs[None, :, None, :] - veh_discs[:, None, :, :], axis=-1)
+    hit_vehicle = jnp.any((d_veh < 2 * VEHICLE_RADIUS) & (npc.veh_active[:, None, None] > 0))
+
+    d_ped = jnp.linalg.norm(ego_discs[None, :, :] - npc.ped_xy[:, None, :], axis=-1)
+    hit_ped = jnp.any((d_ped < VEHICLE_RADIUS + PED_RADIUS) & (npc.ped_active[:, None] > 0))
+
+    hit_other = off_road_distance > off_road_threshold
+    return hit_vehicle, hit_ped, hit_other

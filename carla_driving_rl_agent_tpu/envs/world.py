@@ -1,0 +1,362 @@
+"""The world core: a CARLA-equivalent driving world as pure JAX functions.
+
+This module is the TPU-native replacement for the reference's process
+boundary to the UE4 CARLA server (`rl/environments/carla/environment.py`):
+`step(key, state, action) -> (state', reward, terminated, truncated, info)`
+and `reset(key)` are pure, jittable, and vmapped over thousands of worlds.
+
+Behavior contracts preserved (file:line cite the reference):
+  * action space Box(-1,1,(2,)) = [throttle/brake, steer]  — core/carla_env.py:18
+  * throttle-as-desired-speed control mapping               — core/carla_env.py:141-180
+  * reward: -penalty on collision, else speed * similarity
+    damped by max(1, (d_waypoint/2)^2)                      — core/carla_env.py:182-202
+  * collision penalties 1000 (pedestrian) / 500 (vehicle) /
+    10 (other), all terminal                                — core/carla_env.py:254-269
+  * terminal when destination within 2 m                    — environment.py:946-950
+  * vector features (road 9 / vehicle 4 / navigation N)     — core/carla_env.py:335-382
+  * random weather / town resampling at reset               — core/carla_env.py:214-221
+  * fixed_delta = 1/30 s                                    — environment.py:42-45,74-77
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_driving_rl_agent_tpu.envs import dynamics, route as route_mod, traffic
+from carla_driving_rl_agent_tpu.envs import town as town_mod
+from carla_driving_rl_agent_tpu.envs import weather as weather_mod
+from carla_driving_rl_agent_tpu.envs.dynamics import DT, MS_TO_KMH
+
+
+class TownDev(NamedTuple):
+    """Device-resident stacked town arrays (see town.TownBank)."""
+    wp_xy: jax.Array
+    wp_yaw: jax.Array
+    wp_is_junction: jax.Array
+    wp_speed_limit: jax.Array
+    wp_next: jax.Array
+    wp_num_next: jax.Array
+    wp_junction_id: jax.Array
+    wp_dist_to_junction: jax.Array
+    num_wp: jax.Array
+    junction_xy: jax.Array
+    junction_phase: jax.Array
+    num_junctions: jax.Array
+    spawn_xy: jax.Array
+    spawn_yaw: jax.Array
+    spawn_wp: jax.Array
+    num_spawn: jax.Array
+    texture: jax.Array
+    dist_field: jax.Array
+    buildings: jax.Array
+    num_buildings: jax.Array
+    extent: jax.Array
+
+
+class RoutesDev(NamedTuple):
+    """Device-resident stacked route banks: (T_towns, R, L, ...)."""
+    xy: jax.Array
+    yaw: jax.Array
+    option: jax.Array
+    length: jax.Array
+
+
+class WorldState(NamedTuple):
+    """Complete per-world simulation state (a pytree; vmap over axis 0)."""
+    # ego
+    x: jax.Array
+    y: jax.Array
+    yaw: jax.Array
+    v: jax.Array
+    throttle: jax.Array
+    brake: jax.Array
+    steer: jax.Array
+    # route following
+    route_id: jax.Array
+    wp_idx: jax.Array
+    similarity: jax.Array
+    # world config of this episode
+    town_id: jax.Array
+    weather_id: jax.Array
+    # clocks / episode bookkeeping
+    timestep: jax.Array
+    sim_time: jax.Array
+    episode: jax.Array
+    total_reward: jax.Array
+    # per-step collision bookkeeping
+    collision_penalty: jax.Array
+    should_terminate: jax.Array
+    # NPCs
+    npc: traffic.NPCState
+    # RNG
+    key: jax.Array
+
+
+@dataclass(frozen=True)
+class WorldParams:
+    """Static configuration (python-level; changing it retraces)."""
+    town_names: Tuple[str, ...] = ("Town03",)
+    random_towns: bool = False
+    num_vehicles: int = 0
+    num_pedestrians: int = 0
+    v_max: int = 1                      # static NPC slot counts
+    p_max: int = 1
+    weather_ids: Tuple[int, ...] = (0,)  # indices into weather.WEATHER_NAMES
+    collision_penalty: float = 1000.0
+    throttle_as_desired_speed: bool = True
+    disable_reverse: bool = True
+    max_timesteps: int = 512
+    num_waypoints_for_feature: int = 5
+    num_routes: int = 128
+    max_route_len: int = 512
+    origin_spawns: Optional[Tuple[int, ...]] = None   # fixed origin set (stage s1/s2)
+    range_controls: Tuple[Tuple[float, float], ...] = ((0.0, 1.0), (0.0, 1.0), (-1.0, 1.0))
+    off_road_threshold: float = 7.0
+    force_green_lights: bool = True    # training hack (reference environment.py:420-424)
+    seed: int = 42
+
+
+def build_world_data(params: WorldParams) -> Tuple[TownDev, RoutesDev]:
+    """Host-side: build towns + route banks and upload to device."""
+    bank = town_mod.build_town_bank(list(params.town_names))
+    town = TownDev(
+        wp_xy=jnp.asarray(bank.wp_xy),
+        wp_yaw=jnp.asarray(bank.wp_yaw),
+        wp_is_junction=jnp.asarray(bank.wp_is_junction),
+        wp_speed_limit=jnp.asarray(bank.wp_speed_limit),
+        wp_next=jnp.asarray(bank.wp_next),
+        wp_num_next=jnp.asarray(bank.wp_num_next),
+        wp_junction_id=jnp.asarray(bank.wp_junction_id),
+        wp_dist_to_junction=jnp.asarray(bank.wp_dist_to_junction),
+        num_wp=jnp.asarray(bank.num_wp),
+        junction_xy=jnp.asarray(bank.junction_xy),
+        junction_phase=jnp.asarray(bank.junction_phase),
+        num_junctions=jnp.asarray(bank.num_junctions),
+        spawn_xy=jnp.asarray(bank.spawn_xy),
+        spawn_yaw=jnp.asarray(bank.spawn_yaw),
+        spawn_wp=jnp.asarray(bank.spawn_wp),
+        num_spawn=jnp.asarray(bank.num_spawn),
+        texture=jnp.asarray(bank.texture),
+        dist_field=jnp.asarray(bank.dist_field, jnp.float16),
+        buildings=jnp.asarray(bank.buildings),
+        num_buildings=jnp.asarray(bank.num_buildings),
+        extent=jnp.asarray(bank.extent),
+    )
+    banks = []
+    for name in params.town_names:
+        td = town_mod.get_town(name)
+        rb = route_mod.build_route_bank(
+            td, num_routes=params.num_routes, max_len=params.max_route_len,
+            origin_spawns=list(params.origin_spawns) if params.origin_spawns else None,
+            seed=params.seed)
+        banks.append(rb)
+    routes = RoutesDev(
+        xy=jnp.asarray(np.stack([b.xy for b in banks])),
+        yaw=jnp.asarray(np.stack([b.yaw for b in banks])),
+        option=jnp.asarray(np.stack([b.option for b in banks])),
+        length=jnp.asarray(np.stack([b.length for b in banks])),
+    )
+    return town, routes
+
+
+_route_fns = route_mod.make_route_functions(window=10)
+
+
+def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
+                routes: RoutesDev, episode: jax.Array | int = 0) -> WorldState:
+    """Fresh episode: sample town/weather/route, spawn ego + NPCs.
+
+    Mirrors the reference's reset pipeline (`environment.py:226-242,487-529` +
+    `core/carla_env.py:204-221`); the 30-frame physics settling skip
+    (`environment.py:409-415`) has no analogue — kinematic spawns are at rest.
+    """
+    k_town, k_weather, k_route, k_npc, k_time, k_state = jax.random.split(key, 6)
+
+    n_towns = len(params.town_names)
+    if params.random_towns and n_towns > 1:
+        town_id = jax.random.randint(k_town, (), 0, n_towns)
+    else:
+        town_id = jnp.zeros((), jnp.int32)
+
+    w_ids = jnp.asarray(params.weather_ids, jnp.int32)
+    weather_id = w_ids[jax.random.randint(k_weather, (), 0, len(params.weather_ids))]
+
+    route_id = jax.random.randint(k_route, (), 0, routes.xy.shape[1])
+    r_xy = routes.xy[town_id, route_id]
+    r_yaw = routes.yaw[town_id, route_id]
+
+    ego_xy = r_xy[0]
+    ego_yaw = r_yaw[0]
+
+    npc = traffic.init_npcs(k_npc, town, town_id, params.num_vehicles,
+                            params.num_pedestrians, ego_xy,
+                            v_max=params.v_max, p_max=params.p_max)
+
+    sim_time = jax.random.uniform(k_time, ()) * traffic.LIGHT_CYCLE
+
+    return WorldState(
+        x=ego_xy[0], y=ego_xy[1], yaw=ego_yaw, v=jnp.zeros(()),
+        throttle=jnp.zeros(()), brake=jnp.zeros(()), steer=jnp.zeros(()),
+        route_id=route_id.astype(jnp.int32), wp_idx=jnp.ones((), jnp.int32),
+        similarity=jnp.ones(()),
+        town_id=town_id.astype(jnp.int32), weather_id=weather_id,
+        timestep=jnp.zeros((), jnp.int32), sim_time=sim_time,
+        episode=jnp.asarray(episode, jnp.int32),
+        total_reward=jnp.zeros(()),
+        collision_penalty=jnp.zeros(()), should_terminate=jnp.zeros((), jnp.bool_),
+        npc=npc, key=k_state,
+    )
+
+
+def _off_road_distance(town: TownDev, town_id, x, y, scale: float):
+    """Distance from the ego to the nearest road centerline via the
+    precomputed field (replaces UE4 static-mesh collision)."""
+    fld = town.dist_field[town_id]
+    xi = jnp.clip((x / scale).astype(jnp.int32), 0, fld.shape[1] - 1)
+    yi = jnp.clip((y / scale).astype(jnp.int32), 0, fld.shape[0] - 1)
+    return fld[yi, xi].astype(jnp.float32)
+
+
+def step_world(state: WorldState, action: jax.Array, params: WorldParams,
+               town: TownDev, routes: RoutesDev):
+    """One world tick. Returns (state', reward, terminated, truncated, info)."""
+    key, k_npc = jax.random.split(state.key)
+
+    # --- actions -> control -> dynamics (core/carla_env.py:141-180) ---
+    rc = params.range_controls
+    control = dynamics.actions_to_control(
+        action, state.v,
+        throttle_as_desired_speed=params.throttle_as_desired_speed,
+        disable_reverse=params.disable_reverse,
+        range_throttle=rc[0], range_brake=rc[1], range_steer=rc[2])
+    x, y, yaw, v = dynamics.step_bicycle(state.x, state.y, state.yaw, state.v, control)
+
+    # --- NPCs tick in lock-step (replaces TrafficManager autopilot fleet) ---
+    npc = traffic.step_npcs(k_npc, state.npc, town, state.town_id,
+                            state.sim_time, jnp.stack([x, y]), v, yaw)
+
+    # --- route following update (navigation/route.py:33-53) ---
+    r_xy = routes.xy[state.town_id, state.route_id]
+    r_yaw = routes.yaw[state.town_id, state.route_id]
+    r_len = routes.length[state.town_id, state.route_id]
+    pos = jnp.stack([x, y])
+    wp_idx = _route_fns["update_index"](r_xy, r_len, state.wp_idx, pos)
+    similarity = _route_fns["similarity"](r_yaw, wp_idx, yaw)
+    d_next = _route_fns["distance_to_next"](r_xy, wp_idx, pos)
+    d_dest = _route_fns["distance_to_destination"](r_xy, r_len, pos)
+
+    # --- collisions (core/carla_env.py:254-269) ---
+    off_road = _off_road_distance(town, state.town_id, x, y, town_mod.DISTANCE_RES)
+    hit_veh, hit_ped, hit_other = traffic.collision_check(
+        pos, yaw, npc, off_road, off_road_threshold=params.off_road_threshold)
+    pen = params.collision_penalty
+    collision_penalty = (jnp.where(hit_ped, pen, 0.0)
+                         + jnp.where(hit_veh, pen / 2.0, 0.0)
+                         + jnp.where(hit_other, pen / 100.0, 0.0))
+    should_terminate = hit_veh | hit_ped | hit_other
+
+    # --- reward (core/carla_env.py:182-202) ---
+    spd_kmh = dynamics.speed_kmh(v)
+    r_drive = spd_kmh * similarity
+    damp = jnp.maximum(1.0, (d_next / 2.0) ** 2)
+    r_drive = jnp.where(r_drive != 0.0, r_drive / damp, r_drive)
+    reward = jnp.where(collision_penalty > 0.0, -collision_penalty, r_drive)
+
+    # --- terminal / truncation (environment.py:946-950; learn-loop cutoff) ---
+    arrived = d_dest <= 2.0
+    terminated = should_terminate | arrived
+    timestep = state.timestep + 1
+    truncated = (timestep >= params.max_timesteps) & ~terminated
+
+    new_state = WorldState(
+        x=x, y=y, yaw=yaw, v=v,
+        throttle=control.throttle, brake=control.brake, steer=control.steer,
+        route_id=state.route_id, wp_idx=wp_idx, similarity=similarity,
+        town_id=state.town_id, weather_id=state.weather_id,
+        timestep=timestep, sim_time=state.sim_time + DT,
+        episode=state.episode,
+        total_reward=state.total_reward + reward,
+        collision_penalty=collision_penalty, should_terminate=should_terminate,
+        npc=npc, key=key,
+    )
+
+    info = dict(
+        speed=spd_kmh, speed_limit=_speed_limit(town, state.town_id),
+        similarity=similarity, distance_to_next_waypoint=d_next,
+        distance_to_destination=d_dest,
+        episode=state.episode.astype(jnp.float32),
+        timestep=timestep.astype(jnp.float32),
+        total_reward=new_state.total_reward, reward=reward,
+        collision=should_terminate,
+    )
+    return new_state, reward, terminated, truncated, info
+
+
+def _speed_limit(town: TownDev, town_id) -> jax.Array:
+    return town.wp_speed_limit[town_id, 0]
+
+
+# ------------------------------------------------------------------
+# Vector observation features (core/carla_env.py:335-382)
+# ------------------------------------------------------------------
+
+def road_features(state: WorldState, params: WorldParams, town: TownDev) -> jax.Array:
+    """9 features: [is_intersection, is_junction, is_at_traffic_light,
+    speed_limit/100, one-hot light-state(5)] — core/carla_env.py:335-351.
+    (CARLA's is_intersection is a deprecated alias of is_junction.)"""
+    pos = jnp.stack([state.x, state.y])
+    j_xy = town.junction_xy[state.town_id]
+    n_j = town.num_junctions[state.town_id]
+    d_j = jnp.linalg.norm(j_xy - pos[None], axis=-1)
+    d_j = jnp.where(jnp.arange(j_xy.shape[0]) < n_j, d_j, 1e9)
+    jid = jnp.argmin(d_j)
+    d_min = d_j[jid]
+    is_junction = (d_min < town_mod.JUNCTION_RADIUS).astype(jnp.float32)
+
+    light_state = traffic.light_phase_state(
+        state.sim_time, town.junction_phase[state.town_id, jid], state.yaw)
+    if params.force_green_lights:
+        # training hack: ego's light is forced green (reference environment.py:420-424)
+        light_state = jnp.full_like(light_state, traffic.LIGHT_GREEN)
+    approaching = (d_min < 14.0) & (d_min > town_mod.JUNCTION_RADIUS * 0.5)
+    is_at_light = (approaching & (light_state == traffic.LIGHT_RED)).astype(jnp.float32)
+    light_for_onehot = jnp.where(approaching, light_state, traffic.LIGHT_UNKNOWN)
+    light_onehot = jax.nn.one_hot(light_for_onehot, 5)
+
+    speed_limit = _speed_limit(town, state.town_id) / 100.0
+    return jnp.concatenate([
+        jnp.stack([is_junction, is_junction, is_at_light, speed_limit]),
+        light_onehot,
+    ])
+
+
+def vehicle_features(state: WorldState) -> jax.Array:
+    """4 features: [similarity, speed/100, throttle, brake]
+    — core/carla_env.py:353-364."""
+    return jnp.stack([state.similarity,
+                      dynamics.speed_kmh(state.v) / 100.0,
+                      state.throttle, state.brake])
+
+
+def navigation_features(state: WorldState, params: WorldParams,
+                        routes: RoutesDev) -> jax.Array:
+    """N distances to the next route waypoints / N — core/carla_env.py:366-382."""
+    r_xy = routes.xy[state.town_id, state.route_id]
+    r_len = routes.length[state.town_id, state.route_id]
+    pos = jnp.stack([state.x, state.y])
+    return _route_fns["next_waypoint_distances"](
+        r_xy, r_len, state.wp_idx, pos, params.num_waypoints_for_feature)
+
+
+def vector_observation(state: WorldState, params: WorldParams, town: TownDev,
+                       routes: RoutesDev) -> dict:
+    obs = dict(road=road_features(state, params, town),
+               vehicle=vehicle_features(state),
+               navigation=navigation_features(state, params, routes))
+    # NaN scrubbing (reference env_utils.py:433-439)
+    return {k: jnp.nan_to_num(v) for k, v in obs.items()}

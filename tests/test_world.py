@@ -1,0 +1,189 @@
+"""Simulator core tests: towns, routes, and world stepping semantics
+(reward/collision/terminal contracts from core/carla_env.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_driving_rl_agent_tpu.envs import route as route_mod
+from carla_driving_rl_agent_tpu.envs import town as town_mod
+from carla_driving_rl_agent_tpu.envs import world as world_mod
+from carla_driving_rl_agent_tpu.envs.dynamics import MS_TO_KMH
+
+
+@pytest.fixture(scope="module")
+def town03():
+    return town_mod.get_town("Town03")
+
+
+@pytest.fixture(scope="module")
+def world_setup():
+    params = world_mod.WorldParams(town_names=("Town01",), num_routes=16,
+                                   max_route_len=256, max_timesteps=64)
+    town, routes = world_mod.build_world_data(params)
+    return params, town, routes
+
+
+class TestTown:
+    def test_build_and_arrays_consistent(self, town03):
+        t = town03
+        n = len(t.wp_xy)
+        assert n > 500
+        assert t.wp_yaw.shape == (n,)
+        assert t.wp_next.shape == (n, town_mod.MAX_SUCCESSORS)
+        # every waypoint has a valid successor
+        first_succ = t.wp_next[:, 0]
+        assert np.all(first_succ >= 0)
+        assert np.all(first_succ < n)
+        assert len(t.spawn_xy) > 20
+
+    def test_waypoint_spacing(self, town03):
+        # successive in-lane waypoints are ~WAYPOINT_RES apart
+        t = town03
+        f, l = int(t.lane_first_wp[0]), int(t.lane_last_wp[0])
+        d = np.linalg.norm(np.diff(t.wp_xy[f:l + 1], axis=0), axis=1)
+        assert np.all(d < town_mod.WAYPOINT_RES * 1.6)
+        assert np.all(d > 0.3)
+
+    def test_towns_differ(self):
+        t1 = town_mod.get_town("Town01")
+        t2 = town_mod.get_town("Town02")
+        assert t1.wp_xy.shape != t2.wp_xy.shape or not np.allclose(
+            t1.wp_xy[:100], t2.wp_xy[:100])
+
+    def test_texture_classes(self, town03):
+        tex = town03.texture
+        assert tex.dtype == np.uint8
+        classes = set(np.unique(tex).tolist())
+        assert town_mod.CLASS_ROAD in classes
+        assert town_mod.CLASS_TERRAIN in classes
+        assert town_mod.CLASS_BUILDING in classes
+
+    def test_distance_field_zero_on_road(self, town03):
+        t = town03
+        # at a lane waypoint the centerline distance is about the lane offset
+        wp = t.wp_xy[int(t.lane_first_wp[0]) + 3]
+        xi = int(wp[0] / town_mod.DISTANCE_RES)
+        yi = int(wp[1] / town_mod.DISTANCE_RES)
+        assert float(t.dist_field[yi, xi]) < town_mod.LANE_WIDTH
+
+
+class TestRoutes:
+    def test_astar_route_exists(self, town03):
+        rb = route_mod.build_route_bank(town03, num_routes=8, max_len=400, seed=1)
+        assert rb.num_routes == 8
+        assert np.all(rb.length >= 40)
+        # route is spatially continuous
+        for r in range(8):
+            L = int(rb.length[r])
+            steps = np.linalg.norm(np.diff(rb.xy[r, :L], axis=0), axis=1)
+            assert steps.max() < 6.0, f"route {r} jumps {steps.max():.1f} m"
+
+    def test_fixed_origins(self, town03):
+        rb = route_mod.build_route_bank(town03, num_routes=12, max_len=400,
+                                        origin_spawns=[0, 1, 2], seed=3)
+        assert set(rb.origin_spawn.tolist()) <= {0, 1, 2}
+
+    def test_route_following_advances(self, town03):
+        rb = route_mod.build_route_bank(town03, num_routes=2, max_len=400, seed=5)
+        fns = route_mod.make_route_functions(window=10)
+        xy = jnp.asarray(rb.xy[0])
+        L = jnp.asarray(rb.length[0])
+        idx = jnp.asarray(0, jnp.int32)
+        # walk along the route; the index should track us
+        for t in range(0, 60, 5):
+            pos = xy[t] + 0.5
+            idx = fns["update_index"](xy, L, idx, pos)
+        assert int(idx) >= 50
+
+
+class TestWorld:
+    def test_reset_and_step_shapes(self, world_setup):
+        params, town, routes = world_setup
+        key = jax.random.PRNGKey(0)
+        state = world_mod.reset_world(key, params, town, routes)
+        action = jnp.array([0.5, 0.0])
+        state2, reward, term, trunc, info = world_mod.step_world(
+            state, action, params, town, routes)
+        assert state2.timestep == 1
+        assert jnp.isfinite(reward)
+        assert not bool(term)
+        obs = world_mod.vector_observation(state2, params, town, routes)
+        assert obs["road"].shape == (9,)
+        assert obs["vehicle"].shape == (4,)
+        assert obs["navigation"].shape == (5,)
+
+    def test_driving_forward_gains_speed_and_reward(self, world_setup):
+        params, town, routes = world_setup
+        state = world_mod.reset_world(jax.random.PRNGKey(1), params, town, routes)
+        step = jax.jit(lambda s, a: world_mod.step_world(s, a, params, town, routes))
+        total = 0.0
+        # desired speed ~30 km/h, steer toward the route via proportional control
+        for _ in range(90):
+            r_yaw = routes.yaw[state.town_id, state.route_id, state.wp_idx]
+            err = float(jnp.arctan2(jnp.sin(r_yaw - state.yaw), jnp.cos(r_yaw - state.yaw)))
+            a = jnp.array([-0.4, np.clip(2.0 * err, -1, 1)], jnp.float32)
+            state, reward, term, trunc, info = step(state, a)
+            total += float(reward)
+            if bool(term):
+                break
+        assert float(state.v) * MS_TO_KMH > 5.0
+        assert total > 0.0, f"driving along route should earn reward, got {total}"
+        assert float(state.similarity) > 0.7
+
+    def test_reward_formula_no_collision(self, world_setup):
+        params, town, routes = world_setup
+        state = world_mod.reset_world(jax.random.PRNGKey(2), params, town, routes)
+        state, reward, *_ = world_mod.step_world(state, jnp.array([1.0, 0.0]),
+                                                 params, town, routes)
+        r_xy = routes.xy[state.town_id, state.route_id]
+        d = float(jnp.linalg.norm(r_xy[state.wp_idx] - jnp.stack([state.x, state.y])))
+        spd = float(state.v) * MS_TO_KMH
+        want = spd * float(state.similarity)
+        if want != 0:
+            want /= max(1.0, (d / 2.0) ** 2)
+        assert float(reward) == pytest.approx(want, rel=1e-4, abs=1e-5)
+
+    def test_truncation(self, world_setup):
+        params, town, routes = world_setup
+        state = world_mod.reset_world(jax.random.PRNGKey(3), params, town, routes)
+        step = jax.jit(lambda s, a: world_mod.step_world(s, a, params, town, routes))
+        trunc = False
+        for _ in range(params.max_timesteps + 1):
+            state, _, term, trunc, _ = step(state, jnp.zeros(2))
+            if bool(term) or bool(trunc):
+                break
+        assert bool(trunc) and not bool(term)
+
+    def test_vmapped_worlds(self, world_setup):
+        params, town, routes = world_setup
+        keys = jax.random.split(jax.random.PRNGKey(4), 8)
+        states = jax.vmap(lambda k: world_mod.reset_world(k, params, town, routes))(keys)
+        actions = jnp.tile(jnp.array([0.3, 0.0]), (8, 1))
+        step = jax.vmap(lambda s, a: world_mod.step_world(s, a, params, town, routes))
+        states2, rewards, *_ = step(states, actions)
+        assert rewards.shape == (8,)
+        assert states2.x.shape == (8,)
+        # different worlds got different routes (with high probability)
+        assert len(set(np.asarray(states2.route_id).tolist())) > 1
+
+    def test_off_road_collision_and_penalty(self, world_setup):
+        params, town, routes = world_setup
+        state = world_mod.reset_world(jax.random.PRNGKey(5), params, town, routes)
+        # teleport far off-road
+        state = state._replace(x=jnp.asarray(5.0), y=jnp.asarray(5.0))
+        state2, reward, term, *_ = world_mod.step_world(state, jnp.zeros(2),
+                                                        params, town, routes)
+        assert bool(term)
+        assert float(reward) == pytest.approx(-params.collision_penalty / 100.0)
+
+    def test_determinism(self, world_setup):
+        params, town, routes = world_setup
+        s1 = world_mod.reset_world(jax.random.PRNGKey(7), params, town, routes)
+        s2 = world_mod.reset_world(jax.random.PRNGKey(7), params, town, routes)
+        a = jnp.array([0.5, 0.1])
+        for _ in range(5):
+            s1, r1, *_ = world_mod.step_world(s1, a, params, town, routes)
+            s2, r2, *_ = world_mod.step_world(s2, a, params, town, routes)
+        assert float(s1.x) == float(s2.x) and float(r1) == float(r2)
