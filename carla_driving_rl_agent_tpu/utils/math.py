@@ -30,10 +30,11 @@ def discount_cumsum(x: jax.Array, discount: float | jax.Array) -> jax.Array:
     x = jnp.asarray(x, dtype=jnp.float32)
 
     def combine(a, b):
-        # elements are (value, accumulated_discount)
+        # elements are affine maps y -> d*y + v composed left-to-right:
+        # a = earlier prefix, b = later element; (b ∘ a)(y) = db*(da*y+va)+vb
         va, da = a
         vb, db = b
-        return va + da * vb, da * db
+        return vb + db * va, da * db
 
     d = jnp.full_like(x, discount)
     rev = jnp.flip(x, axis=0)
