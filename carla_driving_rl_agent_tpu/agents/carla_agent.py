@@ -1,0 +1,459 @@
+"""CARLAgent: PPO with shared-dynamics backbone, auxiliary losses, and
+curriculum-ready checkpointing — the flagship trainer.
+
+Reference: `core/carla_agent.py` (CARLAgent) over `rl/agents/ppo.py`
+(PPOAgent).  The entire train iteration — rollout over B vmapped worlds,
+GAE/returns, and minibatch SGD over policy/value/dynamics — is ONE jitted
+XLA program; nothing leaves the device between env stepping and learning.
+
+Objectives (exact formulas, reference lines cited inline):
+  * policy: PPO-clip with per-action-ratio mean, entropy bonus, and
+    0.5*MSE speed + 0.5*MSE similarity auxiliary losses
+    (`core/carla_agent.py:394-428`).  NOTE: like the reference, the new
+    policy's log-prob is computed on a FRESH sample from the current policy
+    (the reference's PolicyNetwork.call samples internally —
+    `core/networks.py:96-110`); Beta sampling is reparameterized in JAX so
+    gradients flow through the sample.
+  * value: 0.25*MSE(base) + MSE(exp)/exp_scale^2, plus unscaled speed &
+    similarity MSE, all scaled by 0.25 (`core/carla_agent.py:469-486`).
+  * advantages: GAE -> sign-preserving max-norm * adv_scale
+    (`rl/agents/ppo.py:714-727`); value targets: discounted rewards-to-go
+    decomposed into (base, exp) (`rl/agents/ppo.py:699-712`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from carla_driving_rl_agent_tpu.agents import rollout as rollout_mod
+from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, EnvState
+from carla_driving_rl_agent_tpu.models.carla_network import CARLANetwork
+from carla_driving_rl_agent_tpu.models.distributions import Beta
+from carla_driving_rl_agent_tpu.utils import math as um
+from carla_driving_rl_agent_tpu.utils.optimizers import get_optimizer_by_name
+from carla_driving_rl_agent_tpu.utils.schedules import DynamicParameter
+
+
+@dataclass
+class CARLAgentConfig:
+    # parallel rollout geometry (TPU-new: the reference runs 1 env)
+    num_envs: int = 64
+    rollout_steps: int = 128
+    # PPO hyper-parameters (reference defaults: rl/agents/ppo.py:26-61,
+    # stage presets core/learning.py:311-498)
+    batch_size: int = 64
+    gamma: float = 0.9999
+    lambda_: float = 0.999
+    policy_lr: Any = 3e-4
+    value_lr: Any = 3e-4
+    dynamics_lr: Any = 3e-4
+    clip_ratio: Any = 0.2
+    entropy_regularization: Any = 0.1
+    advantage_scale: Any = 2.0
+    optimization_steps: Tuple[int, int] = (1, 1)
+    clip_norm: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    polyak: float = 1.0
+    update_dynamics: bool = True
+    optimizer: str = "adam"
+    repeat_action: int = 1
+    aug_intensity: float = 0.0
+    aux: float = 1.0
+    seed: int = 42
+    # network spec (reference core/carla_agent.py:61-68)
+    network: Dict[str, Any] = field(default_factory=dict)
+    compute_dtype: str = "float32"
+
+
+class CARLAgent:
+    """Owns network params, three optimizers, schedules, and the jitted
+    train/eval programs. Host-side state is minimal (schedule steps)."""
+
+    def __init__(self, env: CARLAEnv, config: CARLAgentConfig = None,
+                 name: str = "carla", weights_dir: str = "weights"):
+        self.env = env
+        self.config = config or CARLAgentConfig()
+        self.name = name
+        self.base_path = os.path.join(weights_dir, name)
+
+        cfg = self.config
+        net_spec = dict(cfg.network or {})
+        self.network = CARLANetwork(
+            num_actions=env.config.num_actions,
+            control_policy=net_spec.get("control_policy"),
+            control_value=net_spec.get("control_value"),
+            dynamics=net_spec.get("dynamics"),
+            compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        )
+
+        # dynamic hyper-parameters (reference rl/agents/ppo.py:42-61,100-106)
+        self.policy_lr = DynamicParameter.create(cfg.policy_lr)
+        self.value_lr = DynamicParameter.create(cfg.value_lr)
+        self.dynamics_lr = DynamicParameter.create(cfg.dynamics_lr)
+        self.clip_ratio = DynamicParameter.create(cfg.clip_ratio)
+        self.entropy_strength = DynamicParameter.create(cfg.entropy_regularization)
+        self.adv_scale = DynamicParameter.create(cfg.advantage_scale)
+
+        # init params from a sample observation
+        key = jax.random.PRNGKey(cfg.seed)
+        k_init, self._key = jax.random.split(key)
+        sample = self._sample_net_input()
+        self.params, self.stats = self.network.init(k_init, sample)
+
+        self.policy_opt = get_optimizer_by_name(cfg.optimizer, self.policy_lr())
+        self.value_opt = get_optimizer_by_name(cfg.optimizer, self.value_lr())
+        self.dynamics_opt = get_optimizer_by_name(cfg.optimizer, self.dynamics_lr())
+        self.opt_state = dict(
+            policy=self.policy_opt.init(self.params["policy"]),
+            value=self.value_opt.init(self.params["value"]),
+            dynamics=self.dynamics_opt.init(self.params["dynamics"]),
+        )
+
+        self.update_step = 0
+        self._train_fn = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def _sample_net_input(self, batch: int = 1) -> dict:
+        T = self.env.config.time_horizon
+        H, W, C = self.env.config.image_shape
+        n = self.env.params.num_waypoints_for_feature
+        return dict(
+            state_image=jnp.zeros((batch, T, H, W, C)),
+            state_road=jnp.zeros((batch, T, 9)),
+            state_vehicle=jnp.zeros((batch, T, 4)),
+            state_navigation=jnp.zeros((batch, T, n)),
+            action=jnp.zeros((batch, self.env.config.num_actions)),
+        )
+
+    def _predict_fn(self, params, stats):
+        def predict(net_in, key):
+            return self.network.predict(params, stats, net_in, key)
+        return predict
+
+    def _hyper(self) -> dict:
+        """Current scheduled scalars, passed as traced args (no retraces)."""
+        return dict(
+            clip_ratio=jnp.float32(self.clip_ratio()),
+            entropy=jnp.float32(self.entropy_strength()),
+            adv_scale=jnp.float32(self.adv_scale()),
+        )
+
+    def _set_lrs(self):
+        from carla_driving_rl_agent_tpu.utils.optimizers import set_learning_rate
+        set_learning_rate(self.opt_state["policy"], self.policy_lr())
+        set_learning_rate(self.opt_state["value"], self.value_lr())
+        set_learning_rate(self.opt_state["dynamics"], self.dynamics_lr())
+
+    # ------------------------------------------------------------------
+    # losses (jit-traced)
+    # ------------------------------------------------------------------
+    def _policy_loss(self, p_params, d_params, stats, batch, hyper, key):
+        params = dict(policy=p_params, dynamics=d_params)
+        feat, d_stats = self.network.dynamics_apply(params, stats, batch["obs"],
+                                                    training=True)
+        pol, p_stats = self.network.policy_apply(params, stats, feat, training=True)
+        dist: Beta = pol["dist"]
+
+        # fresh sample from the current policy (reference core/networks.py:96-110)
+        sample = dist.clip(dist.sample(key))
+        log_prob = dist.log_prob(sample)
+        entropy = jnp.mean(dist.entropy())
+
+        adv = batch["advantages"]
+        ratio = jnp.exp(log_prob - batch["log_prob"])
+        ratio = jnp.mean(ratio, axis=1)                    # per-action-ratio mean
+        clip_v = hyper["clip_ratio"]
+        min_adv = jnp.where(adv > 0.0, (1.0 + clip_v) * adv, (1.0 - clip_v) * adv)
+        policy_loss = -jnp.mean(jnp.minimum(ratio * adv, min_adv))
+        entropy_penalty = hyper["entropy"] * entropy
+
+        speed_loss = 0.5 * jnp.mean(jnp.square(batch["speed"] - pol["speed"][:, 0]))
+        sim_loss = 0.5 * jnp.mean(jnp.square(batch["similarity"] - pol["similarity"][:, 0]))
+
+        total = policy_loss - entropy_penalty + self.config.aux * (speed_loss + sim_loss)
+        aux_out = dict(d_stats=d_stats, p_stats=p_stats, loss_policy=policy_loss,
+                       entropy=entropy, ratio=jnp.mean(ratio),
+                       kl=jnp.mean(um.kl_divergence(batch["log_prob"], log_prob)))
+        return total, aux_out
+
+    def _value_loss(self, v_params, d_params, stats, batch):
+        params = dict(value=v_params, dynamics=d_params)
+        feat, d_stats = self.network.dynamics_apply(params, stats, batch["obs"],
+                                                    training=True)
+        val, v_stats = self.network.value_apply(params, stats, feat, training=True)
+        values = val["value"]
+        returns = batch["returns"]
+
+        base_loss = jnp.mean(jnp.square(returns[:, 0] - values[:, 0]))
+        exp_loss = jnp.mean(jnp.square(returns[:, 1] - values[:, 1]))
+        value_loss = 0.25 * base_loss + exp_loss / (self.network.exp_scale ** 2)
+
+        speed_loss = jnp.mean(jnp.square(batch["speed"] - val["speed"][:, 0]))
+        sim_loss = jnp.mean(jnp.square(batch["similarity"] - val["similarity"][:, 0]))
+
+        total = (value_loss + self.config.aux * (speed_loss + sim_loss)) * 0.25
+        aux_out = dict(d_stats=d_stats, v_stats=v_stats, loss_value=value_loss)
+        return total, aux_out
+
+    # ------------------------------------------------------------------
+    # one full train iteration: rollout + targets + minibatch SGD
+    # ------------------------------------------------------------------
+    def _build_train_fn(self):
+        cfg = self.config
+        env = self.env
+        net = self.network
+
+        n_samples = cfg.rollout_steps * cfg.num_envs
+        n_minibatches = max(1, n_samples // cfg.batch_size)
+
+        def train_iteration(params, stats, opt_state, env_states, key, hyper):
+            key, k_roll, k_shuffle_p, k_shuffle_v, k_mb = jax.random.split(key, 5)
+
+            # ---- rollout (old policy inference; core/networks.py:181-193) ----
+            def predict(net_in, k):
+                return net.predict(params, stats, net_in, k)
+
+            env_states, traj, final_obs = rollout_mod.run_rollout(
+                env, predict, env_states, k_roll, cfg.rollout_steps,
+                repeat_action=cfg.repeat_action)
+
+            # ---- targets ----
+            values = um.compose_number(traj.value[..., 0], traj.value[..., 1])  # (S,B)
+            final_in = {f"state_{k}": v for k, v in final_obs.items()}
+            final_in["action"] = env_states.last_action
+            feat, _ = net.dynamics_apply(params, stats, final_in, training=False)
+            vlast, _ = net.value_apply(params, stats, feat, training=False)
+            bootstrap = um.compose_number(vlast["value"][:, 0], vlast["value"][:, 1])
+
+            done = jnp.clip(traj.terminated + traj.truncated, 0.0, 1.0)
+            # truncation bootstraps from the current value estimate
+            # (reference bootstraps V(s_T) at episode cutoff — ppo.py:540-542)
+            rewards = traj.reward + cfg.gamma * traj.truncated * values
+
+            adv_raw, _ = um.batched_gae(rewards, values, done, bootstrap,
+                                        cfg.gamma, cfg.lambda_)
+            advantages = um.sp_norm(adv_raw) * hyper["adv_scale"]
+
+            def returns_scan(carry, xs):
+                r, d = xs
+                ret = r + cfg.gamma * (1.0 - d) * carry
+                return ret, ret
+
+            _, returns_raw = jax.lax.scan(returns_scan, bootstrap,
+                                          (rewards, done), reverse=True)
+            ret_base, ret_exp = um.decompose_number(returns_raw)
+            returns_be = jnp.stack([ret_base, ret_exp], axis=-1)      # (S, B, 2)
+
+            # ---- flatten samples ----
+            S, B = cfg.rollout_steps, cfg.num_envs
+            flat_step = jnp.repeat(jnp.arange(S), B)
+            flat_env = jnp.tile(jnp.arange(B), S)
+
+            def flat(x):
+                return x.reshape((S * B,) + x.shape[2:])
+
+            data = dict(
+                advantages=flat(advantages),
+                returns=flat(returns_be),
+                log_prob=flat(traj.log_prob),
+                action=flat(traj.action),
+                speed=flat(traj.speed) / 100.0,          # carla_agent.py:328
+                similarity=flat(traj.similarity),
+                road=flat(traj.road), vehicle=flat(traj.vehicle),
+                navigation=flat(traj.navigation),
+            )
+
+            def gather_batch(idx):
+                mb = {k: v[idx] for k, v in data.items()}
+                img = rollout_mod.gather_image_stacks(traj, flat_step[idx], flat_env[idx])
+                obs = dict(state_image=img.astype(jnp.float32) / 255.0,
+                           state_road=mb["road"], state_vehicle=mb["vehicle"],
+                           state_navigation=mb["navigation"], action=mb["action"])
+                mb["obs"] = obs
+                return mb
+
+            # ---- policy + dynamics updates ----
+            perm_p = jax.random.permutation(k_shuffle_p, S * B)
+
+            def policy_minibatch(carry, mb_idx):
+                params, stats, opt_state, key = carry
+                key, k_s = jax.random.split(key)
+                idx = jax.lax.dynamic_slice_in_dim(perm_p, mb_idx * cfg.batch_size,
+                                                   cfg.batch_size)
+                batch = gather_batch(idx)
+
+                def loss_fn(pd):
+                    return self._policy_loss(pd["policy"], pd["dynamics"], stats,
+                                             batch, hyper, k_s)
+
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    dict(policy=params["policy"], dynamics=params["dynamics"]))
+
+                g_pol = um.clip_gradients(grads["policy"], cfg.clip_norm[0])
+                g_dyn = um.clip_gradients(grads["dynamics"], cfg.clip_norm[2])
+
+                # old_policy <- policy BEFORE applying (rl/agents/ppo.py:238-252)
+                new_params = dict(params, old_policy=params["policy"])
+                up, opt_p = self.policy_opt.update(g_pol, opt_state["policy"],
+                                                   params["policy"])
+                new_policy = optax.apply_updates(params["policy"], up)
+                if cfg.polyak < 1.0:
+                    new_policy = um.polyak_average(new_policy, params["policy"],
+                                                   cfg.polyak)
+                new_params["policy"] = new_policy
+                opt_d = opt_state["dynamics"]
+                if cfg.update_dynamics:
+                    ud, opt_d = self.dynamics_opt.update(g_dyn, opt_state["dynamics"],
+                                                         params["dynamics"])
+                    new_params["dynamics"] = optax.apply_updates(params["dynamics"], ud)
+                new_stats = dict(stats, dynamics=aux["d_stats"], policy=aux["p_stats"])
+                new_opt = dict(opt_state, policy=opt_p, dynamics=opt_d)
+                metrics = dict(loss_policy=aux["loss_policy"], entropy=aux["entropy"],
+                               ratio=aux["ratio"], kl=aux["kl"], loss_total=loss)
+                return (new_params, new_stats, new_opt, key), metrics
+
+            mb_ids = jnp.tile(jnp.arange(n_minibatches), cfg.optimization_steps[0])
+            (params, stats, opt_state, key), p_metrics = jax.lax.scan(
+                policy_minibatch, (params, stats, opt_state, key), mb_ids)
+
+            # ---- value + dynamics updates ----
+            perm_v = jax.random.permutation(k_shuffle_v, S * B)
+
+            def value_minibatch(carry, mb_idx):
+                params, stats, opt_state, key = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm_v, mb_idx * cfg.batch_size,
+                                                   cfg.batch_size)
+                batch = gather_batch(idx)
+
+                def loss_fn(vd):
+                    return self._value_loss(vd["value"], vd["dynamics"], stats, batch)
+
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    dict(value=params["value"], dynamics=params["dynamics"]))
+
+                g_val = um.clip_gradients(grads["value"], cfg.clip_norm[1])
+                g_dyn = um.clip_gradients(grads["dynamics"], cfg.clip_norm[2])
+                uv, opt_v = self.value_opt.update(g_val, opt_state["value"],
+                                                  params["value"])
+                new_params = dict(params, value=optax.apply_updates(params["value"], uv))
+                opt_d = opt_state["dynamics"]
+                if cfg.update_dynamics:
+                    ud, opt_d = self.dynamics_opt.update(g_dyn, opt_state["dynamics"],
+                                                         params["dynamics"])
+                    new_params["dynamics"] = optax.apply_updates(params["dynamics"], ud)
+                new_stats = dict(stats, dynamics=aux["d_stats"], value=aux["v_stats"])
+                new_opt = dict(opt_state, value=opt_v, dynamics=opt_d)
+                return (new_params, new_stats, new_opt, key), dict(loss_value=loss)
+
+            mb_ids_v = jnp.tile(jnp.arange(n_minibatches), cfg.optimization_steps[1])
+            (params, stats, opt_state, key), v_metrics = jax.lax.scan(
+                value_minibatch, (params, stats, opt_state, key), mb_ids_v)
+
+            metrics = dict(
+                reward_mean=jnp.mean(traj.reward),
+                episode_done=jnp.sum(done),
+                collision_rate=jnp.sum(traj.terminated) / jnp.maximum(jnp.sum(done), 1.0),
+                speed_mean=jnp.mean(traj.speed),
+                similarity_mean=jnp.mean(traj.similarity),
+                advantage_abs=jnp.mean(jnp.abs(advantages)),
+                returns_mean=jnp.mean(returns_raw),
+                value_mean=jnp.mean(values),
+                loss_policy=jnp.mean(p_metrics["loss_policy"]),
+                loss_value=jnp.mean(v_metrics["loss_value"]),
+                entropy=jnp.mean(p_metrics["entropy"]),
+                ratio=jnp.mean(p_metrics["ratio"]),
+                kl=jnp.mean(p_metrics["kl"]),
+            )
+            return params, stats, opt_state, env_states, key, metrics
+
+        # NOTE: params can contain aliased buffers (old_policy == policy after
+        # a copy), which XLA refuses to donate twice — donate only the
+        # optimizer state and env states.
+        return jax.jit(train_iteration, donate_argnums=(2, 3))
+
+    # ------------------------------------------------------------------
+    def learn(self, num_updates: int, env_states: Optional[EnvState] = None,
+              callback=None):
+        """Main training loop (reference `rl/agents/ppo.py:464-568`).
+
+        One "update" = rollout_steps x num_envs env steps + a PPO update; the
+        reference's (episodes, timesteps) map to (num_envs worlds, rollout
+        horizon).  Returns (env_states, list of host metrics dicts).
+        """
+        if self._train_fn is None:
+            self._train_fn = self._build_train_fn()
+        if env_states is None:
+            self._key, k = jax.random.split(self._key)
+            env_states, _ = self.env.reset_batch(k, self.config.num_envs)
+
+        history = []
+        for _ in range(num_updates):
+            self._set_lrs()
+            self._key, k = jax.random.split(self._key)
+            out = self._train_fn(self.params, self.stats, self.opt_state,
+                                 env_states, k, self._hyper())
+            self.params, self.stats, self.opt_state, env_states, _, metrics = out
+            self.update_step += 1
+            for p in (self.policy_lr, self.value_lr, self.dynamics_lr,
+                      self.clip_ratio, self.entropy_strength, self.adv_scale):
+                p.on_episode()
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            history.append(host_metrics)
+            if callback is not None:
+                callback(self.update_step, host_metrics)
+        return env_states, history
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference core/networks.py:297-310, rl/agents/ppo.py:601-616)
+    # ------------------------------------------------------------------
+    def save(self, path: Optional[str] = None):
+        from carla_driving_rl_agent_tpu.utils import checkpoint as ckpt
+        path = path or self.base_path
+        ckpt.save_agent(path, params=self.params, stats=self.stats,
+                        opt_state=self.opt_state, config=self.serialize_config())
+
+    def load(self, path: Optional[str] = None, full: bool = True):
+        """full=False restores only the dynamics backbone — the curriculum's
+        stage-transfer mechanism (reference `core/networks.py:302-310`)."""
+        from carla_driving_rl_agent_tpu.utils import checkpoint as ckpt
+        path = path or self.base_path
+        loaded = ckpt.load_agent(path, params=self.params, stats=self.stats,
+                                 opt_state=self.opt_state)
+        if full:
+            self.params = loaded["params"]
+            self.params = self.network.update_old_policy(self.params)
+            self.stats = loaded["stats"]
+            if loaded.get("opt_state") is not None:
+                self.opt_state = loaded["opt_state"]
+        else:
+            self.params = dict(self.params, dynamics=loaded["params"]["dynamics"])
+            self.stats = dict(self.stats, dynamics=loaded["stats"]["dynamics"])
+        cfg = loaded.get("config", {})
+        self.load_config(cfg)
+
+    def serialize_config(self) -> dict:
+        return dict(policy_lr=self.policy_lr.serialize(),
+                    value_lr=self.value_lr.serialize(),
+                    dynamics_lr=self.dynamics_lr.serialize(),
+                    adv_scale=self.adv_scale.serialize(),
+                    entropy_strength=self.entropy_strength.serialize(),
+                    clip_ratio=self.clip_ratio.serialize(),
+                    update_step=self.update_step)
+
+    def load_config(self, config: dict):
+        self.policy_lr.load(config.get("policy_lr", {}))
+        self.value_lr.load(config.get("value_lr", {}))
+        self.dynamics_lr.load(config.get("dynamics_lr", {}))
+        self.adv_scale.load(config.get("adv_scale", {}))
+        self.entropy_strength.load(config.get("entropy_strength", {}))
+        self.clip_ratio.load(config.get("clip_ratio", {}))
+        self.update_step = int(config.get("update_step", self.update_step))

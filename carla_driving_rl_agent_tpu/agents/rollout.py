@@ -1,0 +1,119 @@
+"""Rollout machinery: fixed-shape on-device trajectory collection.
+
+TPU-native replacement for the reference's append-based PPOMemory
+(`rl/agents/ppo.py:629-754`, which tf.concat-appends every step — O(n^2) —
+and its CARLAMemory time-axis variant `core/carla_agent.py:586-597`):
+here a `lax.scan` writes into fixed-shape arrays.
+
+Image frames are deduplicated: the observation stack only changes every
+`past_obs_freq` steps, so the buffer stores each rendered frame ONCE plus
+per-step stack indices; minibatch assembly gathers the 4 frames per sample.
+This cuts rollout image memory by ~time_horizon x.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, EnvState, convert_action
+
+
+class Trajectory(NamedTuple):
+    """Per-step rollout records, shapes (S, B, ...)."""
+    road: jax.Array          # (S, B, T, 9)
+    vehicle: jax.Array       # (S, B, T, 4)
+    navigation: jax.Array    # (S, B, T, N)
+    stack_ids: jax.Array     # (S, B, T) frame ids (-T..S)
+    frames: jax.Array        # (S, B, H, W, C) uint8 — frame rendered at step s
+    init_stack: jax.Array    # (T, B, H, W, C) uint8 — stack content at rollout start
+    action: jax.Array        # (S, B, A) raw Beta samples in [0,1]
+    log_prob: jax.Array      # (S, B, A)
+    value: jax.Array         # (S, B, 2) (base, exp)
+    reward: jax.Array        # (S, B)
+    terminated: jax.Array    # (S, B)
+    truncated: jax.Array     # (S, B)
+    speed: jax.Array         # (S, B) km/h (aux target, env info)
+    similarity: jax.Array    # (S, B) (aux target, env info)
+
+
+def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
+                key: jax.Array, num_steps: int, repeat_action: int = 1):
+    """Collect `num_steps` lock-step transitions from all worlds.
+
+    predict_fn(obs_prefixed, key) -> dict(action, log_prob, value, ...), the
+    inference path of the network (old policy — reference
+    `core/networks.py:181-193`).
+    Returns (new_env_states, Trajectory, final_obs).
+    """
+    time_h = env.config.time_horizon
+
+    # snapshot the image stacks and relabel their slots -T..-1 so stored
+    # stack indices are rollout-local
+    init_stack = jnp.swapaxes(env_states.image_stack, 0, 1)  # (T, B, H, W, C)
+    batch = init_stack.shape[1]
+    start_ids = jnp.tile(jnp.arange(-time_h, 0, dtype=jnp.int32)[None], (batch, 1))
+    env_states = env_states._replace(stack_ids=start_ids)
+
+    def step_fn(carry, step_idx):
+        states, key = carry
+        key, k_act = jax.random.split(key)
+        obs = env.observe(states)
+        net_in = {f"state_{k}": v for k, v in obs.items()}
+        net_in["action"] = states.last_action
+        pred = predict_fn(net_in, k_act)
+
+        action01 = pred["action"]
+        action_env = convert_action(action01)
+
+        def do_step(s):
+            return env.step_batch(s, action_env,
+                                  jnp.full((batch,), step_idx, jnp.int32))
+
+        new_states, _, reward, term, trunc, info = do_step(states)
+        if repeat_action > 1:
+            for _ in range(repeat_action - 1):
+                # further repeats are skipped for already-done worlds
+                ns2, _, r2, t2, tr2, info2 = do_step(new_states)
+                done = term | trunc
+                new_states = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+                    new_states, ns2)
+                reward = jnp.where(done, reward, reward + r2)
+                term, trunc = term | t2, trunc | tr2
+                info = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(done, a, b), info, info2)
+
+        new_states = new_states._replace(last_action=action01)
+        record = dict(
+            road=obs["road"], vehicle=obs["vehicle"], navigation=obs["navigation"],
+            stack_ids=states.stack_ids,
+            frames=new_states.image_stack[:, -1],
+            action=action01, log_prob=pred["log_prob"], value=pred["value"],
+            reward=reward, terminated=term.astype(jnp.float32),
+            truncated=trunc.astype(jnp.float32),
+            speed=info["speed"], similarity=info["similarity"],
+        )
+        return (new_states, key), record
+
+    (env_states, _), records = jax.lax.scan(
+        step_fn, (env_states, key), jnp.arange(num_steps))
+
+    traj = Trajectory(init_stack=init_stack, **records)
+    final_obs = env.observe(env_states)
+    return env_states, traj, final_obs
+
+
+def gather_image_stacks(traj: Trajectory, sample_step: jax.Array,
+                        sample_env: jax.Array) -> jax.Array:
+    """Reassemble (mb, T, H, W, C) image stacks for the given flat samples.
+
+    frames timeline: ids -T..-1 live in init_stack, 0..S-1 in frames.
+    """
+    time_h = traj.init_stack.shape[0]
+    all_frames = jnp.concatenate([traj.init_stack, traj.frames], axis=0)  # (T+S, B, ...)
+    ids = traj.stack_ids[sample_step, sample_env]          # (mb, T)
+    ids = jnp.clip(ids + time_h, 0, all_frames.shape[0] - 1)
+    return all_frames[ids, sample_env[:, None]]            # (mb, T, H, W, C)

@@ -11,6 +11,8 @@ from typing import Callable, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+BN_EPS = 1e-3  # keras BatchNormalization default (parity with the reference's TF nets)
+
 from carla_driving_rl_agent_tpu.utils.activations import get_activation
 
 
@@ -32,12 +34,12 @@ class FeatureNet(nn.Module):
         act = get_activation(self.activation)
         x = x.astype(self.dtype)
         if self.normalization == "batch":
-            x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not training, epsilon=BN_EPS, dtype=self.dtype)(x)
         for _ in range(self.num_layers):
             x = nn.Dense(self.units, dtype=self.dtype,
                          kernel_init=nn.initializers.glorot_uniform())(x)
             x = act(x)
-            x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not training, epsilon=BN_EPS, dtype=self.dtype)(x)
         return x
 
 
@@ -54,7 +56,7 @@ class ControlBranch(nn.Module):
         act = get_activation(self.activation)
         x = x.astype(self.dtype)
         for _ in range(self.num_layers):
-            x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not training, epsilon=BN_EPS, dtype=self.dtype)(x)
             x = nn.Dense(self.units, dtype=self.dtype,
                          kernel_init=nn.initializers.glorot_uniform())(x)
             x = act(x)
@@ -71,6 +73,6 @@ class LinearCombination(nn.Module):
     def __call__(self, x, training: bool = False):
         x = x.astype(self.dtype)
         if self.normalization == "batch":
-            x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not training, epsilon=BN_EPS, dtype=self.dtype)(x)
         return nn.Dense(self.units, dtype=self.dtype,
                         kernel_init=nn.initializers.glorot_uniform())(x)

@@ -17,6 +17,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+BN_EPS = 1e-3  # keras BatchNormalization default (parity with the reference's TF nets)
+
 from carla_driving_rl_agent_tpu.utils.activations import leaky_relu6
 
 CHANNELS = {
@@ -44,7 +46,7 @@ class _BNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.BatchNorm(use_running_average=not training, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not training, epsilon=BN_EPS, dtype=self.dtype)(x)
         return leaky_relu6(x, self.leak)
 
 
@@ -63,7 +65,7 @@ class ShuffleUnit(nn.Module):
         dwconv = lambda c, s: nn.Conv(c, (3, 3), strides=(s, s), padding="SAME",
                                       feature_group_count=c, dtype=self.dtype,
                                       kernel_init=nn.initializers.glorot_uniform())
-        bn = lambda: nn.BatchNorm(use_running_average=not training, dtype=self.dtype)
+        bn = lambda: nn.BatchNorm(use_running_average=not training, epsilon=BN_EPS, dtype=self.dtype)
         bn_act = lambda y: leaky_relu6(bn()(y), self.leak)
 
         if self.stride == 1:

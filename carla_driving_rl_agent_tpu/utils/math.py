@@ -170,8 +170,19 @@ def clip_by_norm(x: jax.Array, norm: float) -> jax.Array:
 
 def clip_gradients(grads, norm: float):
     """Clip every leaf tensor to `norm` (reference `rl/utils.py:120-121`
-    clips each gradient tensor independently, NOT the global norm)."""
-    return jax.tree_util.tree_map(lambda g: clip_by_norm(g, norm), grads)
+    clips each gradient tensor independently, NOT the global norm).
+
+    Non-finite entries are scrubbed to 0 first: degenerate batches (e.g. a
+    constant image stream through 16 BatchNorm layers) can overflow the
+    backward pass, and inf * 0 clipping would otherwise poison the params —
+    the moral equivalent of the reference's NaN scrubbing of observations
+    (`env_utils.py:433-439`), applied at the gradient boundary.
+    """
+    def clean(g):
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return clip_by_norm(g, norm)
+
+    return jax.tree_util.tree_map(clean, grads)
 
 
 def polyak_average(new_params, old_params, alpha: float):

@@ -1,0 +1,80 @@
+"""End-to-end agent tests: rollout + PPO update on a tiny config."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from carla_driving_rl_agent_tpu.agents.carla_agent import CARLAgent, CARLAgentConfig
+from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
+from carla_driving_rl_agent_tpu.envs.world import WorldParams
+
+TINY_NET = dict(
+    control_policy=dict(units=32, num_layers=1),
+    control_value=dict(units=32, num_layers=1),
+    dynamics=dict(
+        shufflenet=dict(g=0.5, last_channels=64),
+        rnn=dict(image=32, road=8, vehicle=8, navigation=8),
+        dynamics=dict(units=64),
+        road=dict(units=8, num_layers=1, activation="relu6"),
+        vehicle=dict(units=8, num_layers=1, activation="relu6"),
+        navigation=dict(units=8, num_layers=1, activation="relu6"),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_env():
+    cfg = CARLAEnvConfig(
+        world=WorldParams(town_names=("Town02",), num_routes=8, max_route_len=256,
+                          max_timesteps=32),
+        image_height=48, image_width=32, render_mode="zeros",
+        time_horizon=4, past_obs_freq=4)
+    return CARLAEnv(cfg)
+
+
+@pytest.fixture(scope="module")
+def agent(tiny_env, tmp_path_factory):
+    cfg = CARLAgentConfig(num_envs=4, rollout_steps=8, batch_size=8,
+                          network=TINY_NET, seed=7)
+    return CARLAgent(tiny_env, cfg, name="test-agent",
+                     weights_dir=str(tmp_path_factory.mktemp("weights")))
+
+
+class TestCARLAgent:
+    def test_learn_one_update(self, agent):
+        env_states, history = agent.learn(num_updates=1)
+        m = history[0]
+        assert np.isfinite(m["loss_policy"])
+        assert np.isfinite(m["loss_value"])
+        assert np.isfinite(m["entropy"])
+        assert m["ratio"] == pytest.approx(1.0, abs=0.5)
+
+    def test_params_change_and_second_update(self, agent):
+        p0 = jax.tree_util.tree_leaves(agent.params["policy"])[0].copy()
+        env_states, history = agent.learn(num_updates=1)
+        p1 = jax.tree_util.tree_leaves(agent.params["policy"])[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1)), "policy params did not move"
+        assert np.isfinite(history[0]["loss_policy"])
+
+    def test_save_load_roundtrip(self, agent):
+        agent.save()
+        leaf_before = np.asarray(jax.tree_util.tree_leaves(agent.params["dynamics"])[0])
+        agent.load(full=True)
+        leaf_after = np.asarray(jax.tree_util.tree_leaves(agent.params["dynamics"])[0])
+        np.testing.assert_allclose(leaf_before, leaf_after)
+
+    def test_backbone_only_load(self, agent):
+        agent.save()
+        # wreck the policy, then restore only the dynamics backbone
+        agent.params = dict(agent.params, policy=jax.tree_util.tree_map(
+            lambda x: x * 0.0, agent.params["policy"]))
+        agent.load(full=False)
+        p = np.asarray(jax.tree_util.tree_leaves(agent.params["policy"])[0])
+        assert np.allclose(p, 0.0), "backbone-only load must not touch the policy"
+
+    def test_schedule_steps_advance(self, agent):
+        before = agent.policy_lr.step
+        agent.learn(num_updates=1)
+        assert agent.policy_lr.step == before + 1
