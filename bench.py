@@ -1,0 +1,78 @@
+"""Benchmark: aggregate environment steps/sec with rendered 3-camera obs.
+
+Headline metric from BASELINE.json: env steps/sec/chip at 1024 parallel
+worlds with 90x120x3-per-camera rendered observations (stage-s1-like world).
+The reference has no throughput baseline (single CARLA env, wall-clock bound
+by UE4); vs_baseline is measured against the 1M steps/s north-star target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+NUM_WORLDS = 1024
+STEPS_PER_CALL = 30
+WARMUP_CALLS = 2
+TIMED_CALLS = 5
+
+
+def main():
+    from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
+    from carla_driving_rl_agent_tpu.envs.world import WorldParams
+
+    env = CARLAEnv(CARLAEnvConfig(
+        world=WorldParams(town_names=("Town03",), num_routes=64, max_route_len=512,
+                          max_timesteps=512, num_vehicles=0, num_pedestrians=0,
+                          v_max=1, p_max=1),
+        image_height=90, image_width=120, render_mode="rasterizer",
+        time_horizon=4, past_obs_freq=4))
+
+    consts = env.consts
+
+    def reset_all(key, consts):
+        with env.bind(consts):
+            return env.reset_batch(key, NUM_WORLDS)
+
+    states, _ = jax.jit(reset_all)(jax.random.PRNGKey(0), consts)
+
+    def rollout_chunk(states, key, consts):
+        with env.bind(consts):
+            def body(carry, _):
+                states, key = carry
+                key, k = jax.random.split(key)
+                # random driving actions (throttle biased forward)
+                a = jax.random.uniform(k, (NUM_WORLDS, 2),
+                                       minval=jnp.asarray([-0.2, -0.5]),
+                                       maxval=jnp.asarray([0.8, 0.5]))
+                states, obs, reward, term, trunc, info = env.step_batch(states, a)
+                return (states, key), reward[0]
+            (states, key), rewards = jax.lax.scan(body, (states, key),
+                                                  None, length=STEPS_PER_CALL)
+            return states, key, rewards
+
+    step_fn = jax.jit(rollout_chunk, donate_argnums=(0,))
+
+    k = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_CALLS):
+        states, k, r = step_fn(states, k, consts)
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        states, k, r = step_fn(states, k, consts)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    total_steps = NUM_WORLDS * STEPS_PER_CALL * TIMED_CALLS
+    sps = total_steps / dt
+    print(json.dumps(dict(metric="env_steps_per_sec_rendered_1024w",
+                          value=round(sps, 1), unit="steps/s",
+                          vs_baseline=round(sps / 1_000_000.0, 4))))
+
+
+if __name__ == "__main__":
+    main()

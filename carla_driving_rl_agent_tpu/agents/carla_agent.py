@@ -78,11 +78,13 @@ class CARLAgent:
     train/eval programs. Host-side state is minimal (schedule steps)."""
 
     def __init__(self, env: CARLAEnv, config: CARLAgentConfig = None,
-                 name: str = "carla", weights_dir: str = "weights"):
+                 name: str = "carla", weights_dir: str = "weights",
+                 mesh=None):
         self.env = env
         self.config = config or CARLAgentConfig()
         self.name = name
         self.base_path = os.path.join(weights_dir, name)
+        self.mesh = mesh  # optional jax.sharding.Mesh: worlds sharded over chips
 
         cfg = self.config
         net_spec = dict(cfg.network or {})
@@ -215,7 +217,9 @@ class CARLAgent:
         n_samples = cfg.rollout_steps * cfg.num_envs
         n_minibatches = max(1, n_samples // cfg.batch_size)
 
-        def train_iteration(params, stats, opt_state, env_states, key, hyper):
+        def train_iteration(params, stats, opt_state, env_states, key, hyper, consts):
+          # bind world-data arrays as traced args (not closure constants)
+          with env.bind(consts):
             key, k_roll, k_shuffle_p, k_shuffle_v, k_mb = jax.random.split(key, 5)
 
             # ---- rollout (old policy inference; core/networks.py:181-193) ----
@@ -378,6 +382,14 @@ class CARLAgent:
         # NOTE: params can contain aliased buffers (old_policy == policy after
         # a copy), which XLA refuses to donate twice — donate only the
         # optimizer state and env states.
+        if self.mesh is not None:
+            from carla_driving_rl_agent_tpu.parallel.mesh import replicated, world_sharding
+            repl = replicated(self.mesh)
+            world = world_sharding(self.mesh)
+            return jax.jit(train_iteration,
+                           in_shardings=(repl, repl, repl, world, repl, repl, repl),
+                           out_shardings=(repl, repl, repl, world, repl, repl),
+                           donate_argnums=(2, 3))
         return jax.jit(train_iteration, donate_argnums=(2, 3))
 
     # ------------------------------------------------------------------
@@ -400,7 +412,7 @@ class CARLAgent:
             self._set_lrs()
             self._key, k = jax.random.split(self._key)
             out = self._train_fn(self.params, self.stats, self.opt_state,
-                                 env_states, k, self._hyper())
+                                 env_states, k, self._hyper(), self.env.consts)
             self.params, self.stats, self.opt_state, env_states, _, metrics = out
             self.update_step += 1
             for p in (self.policy_lr, self.value_lr, self.dynamics_lr,

@@ -28,6 +28,31 @@ from carla_driving_rl_agent_tpu.envs.world import WorldParams, WorldState
 from carla_driving_rl_agent_tpu.ops import rasterizer
 
 
+class EnvConsts(NamedTuple):
+    """Device-resident world data, passed as jit arguments (see
+    CARLAEnv.consts)."""
+    town: "world_mod.TownDev"
+    routes: "world_mod.RoutesDev"
+    weather: jax.Array
+
+
+class _Bind:
+    def __init__(self, env: "CARLAEnv", consts: EnvConsts):
+        self.env = env
+        self.consts = consts
+
+    def __enter__(self):
+        self._old = (self.env.town, self.env.routes, self.env.weather_params)
+        self.env.town = self.consts.town
+        self.env.routes = self.consts.routes
+        self.env.weather_params = self.consts.weather
+        return self.env
+
+    def __exit__(self, *exc):
+        self.env.town, self.env.routes, self.env.weather_params = self._old
+        return False
+
+
 class EnvState(NamedTuple):
     world: WorldState
     image_stack: jax.Array      # (T, H, 3W, C) uint8
@@ -66,6 +91,19 @@ class CARLAEnv:
         from carla_driving_rl_agent_tpu.envs.weather import WEATHER_PARAMS
         self.weather_params = jnp.asarray(WEATHER_PARAMS)
 
+    # ---- constant binding --------------------------------------------
+    # Town/route arrays must be passed to jitted programs as ARGUMENTS, not
+    # captured as closure constants: constant-embedding bloats executables
+    # and is pathologically slow to compile on remote-attached TPUs.
+    @property
+    def consts(self) -> "EnvConsts":
+        return EnvConsts(town=self.town, routes=self.routes,
+                         weather=self.weather_params)
+
+    def bind(self, consts: "EnvConsts"):
+        """Context manager swapping in traced constant arrays while tracing."""
+        return _Bind(self, consts)
+
     # ---- spaces (reference core/carla_env.py:18-24,128-131) ----
     @property
     def action_space(self) -> spaces.Box:
@@ -91,7 +129,11 @@ class CARLAEnv:
         if cfg.render_mode == "zeros":
             return jnp.zeros(cfg.image_shape, jnp.uint8)
         inputs = rasterizer.RenderInputs(
-            texture=self.town.texture[world.town_id],
+            edges_xy=self.town.edges_xy[world.town_id],
+            num_edges=self.town.num_edges[world.town_id],
+            buildings=self.town.buildings[world.town_id],
+            junctions=self.town.junction_xy[world.town_id],
+            num_junctions=self.town.num_junctions[world.town_id],
             ego_xy=jnp.stack([world.x, world.y]),
             ego_yaw=world.yaw,
             veh_xy=world.npc.veh_xy, veh_yaw=world.npc.veh_yaw,
@@ -100,8 +142,7 @@ class CARLAEnv:
             weather=self.weather_params[world.weather_id],
         )
         img = rasterizer.render_cameras(inputs, height=cfg.image_height,
-                                        width=cfg.image_width,
-                                        tex_scale=0.5)
+                                        width=cfg.image_width)
         if cfg.stack_depth:
             # the reference appends a log-depth channel rendered from the
             # front depth camera (core/carla_env.py:271-288); a flat proxy
@@ -116,23 +157,29 @@ class CARLAEnv:
                     vehicle=vec["vehicle"], navigation=vec["navigation"])
 
     # ---- reset / step (single world; vmap for batches) ----
-    def reset(self, key: jax.Array, episode=0) -> Tuple[EnvState, dict]:
+    def _fresh_state(self, world, frame, frame_id) -> EnvState:
+        """Episode-start EnvState: stack of default (zero) observations with
+        the first real frame pushed last (reference core/carla_env.py:79-81,
+        323-325)."""
         cfg = self.config
-        world = world_mod.reset_world(key, self.params, self.town, self.routes,
-                                      episode=episode)
-        frame = self.frame_obs(world)
         T = cfg.time_horizon
-        # stack of default (zero) observations, newest pushed last
-        # (reference core/carla_env.py:79-81,323-325)
         img_stack = jnp.zeros((T,) + cfg.image_shape, jnp.uint8).at[-1].set(frame["image"])
         road_stack = jnp.zeros((T, 9)).at[-1].set(frame["road"])
         veh_stack = jnp.zeros((T, 4)).at[-1].set(frame["vehicle"])
         nav_stack = jnp.zeros((T, self.params.num_waypoints_for_feature)).at[-1].set(
             frame["navigation"])
-        state = EnvState(world=world, image_stack=img_stack, road_stack=road_stack,
-                         vehicle_stack=veh_stack, nav_stack=nav_stack,
-                         stack_ids=jnp.full((T,), -1, jnp.int32),
-                         last_action=jnp.full((cfg.num_actions,), 0.5))
+        stack_ids = jnp.full((T,), -1, jnp.int32).at[-1].set(
+            jnp.asarray(frame_id, jnp.int32))
+        return EnvState(world=world, image_stack=img_stack, road_stack=road_stack,
+                        vehicle_stack=veh_stack, nav_stack=nav_stack,
+                        stack_ids=stack_ids,
+                        last_action=jnp.full((cfg.num_actions,), 0.5))
+
+    def reset(self, key: jax.Array, episode=0, frame_id=-1) -> Tuple[EnvState, dict]:
+        world = world_mod.reset_world(key, self.params, self.town, self.routes,
+                                      episode=episode)
+        frame = self.frame_obs(world)
+        state = self._fresh_state(world, frame, frame_id)
         return state, self.observe(state)
 
     def observe(self, state: EnvState) -> dict:
@@ -155,7 +202,17 @@ class CARLAEnv:
         world, reward, term, trunc, info = world_mod.step_world(
             state.world, action, self.params, self.town, self.routes)
 
-        frame = self.frame_obs(world)
+        # auto-reset the WORLD first, then render exactly once from the
+        # merged state (rendering is the expensive part of a step)
+        done = term | trunc
+        reset_key, _ = jax.random.split(world.key)
+        fresh_world = world_mod.reset_world(reset_key, self.params, self.town,
+                                            self.routes, episode=world.episode + 1)
+        merged_world = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(_expand(done, a), a, b), fresh_world, world)
+
+        frame = self.frame_obs(merged_world)
+
         # push every past_obs_freq steps (reference core/carla_env.py:290-299)
         t_pre = state.world.timestep
         push = (t_pre % cfg.past_obs_freq) == 0
@@ -173,16 +230,13 @@ class CARLAEnv:
             jnp.concatenate([state.stack_ids[1:], jnp.asarray(frame_id, jnp.int32)[None]]),
             state.stack_ids)
 
-        stepped = EnvState(world=world, image_stack=img_stack, road_stack=road_stack,
-                           vehicle_stack=veh_stack, nav_stack=nav_stack,
-                           stack_ids=stack_ids, last_action=state.last_action)
-
-        # auto-reset: build a fresh episode state and select where done
-        done = term | trunc
-        reset_key, _ = jax.random.split(world.key)
-        fresh, _ = self.reset(reset_key, episode=world.episode + 1)
+        stepped = EnvState(world=merged_world, image_stack=img_stack,
+                           road_stack=road_stack, vehicle_stack=veh_stack,
+                           nav_stack=nav_stack, stack_ids=stack_ids,
+                           last_action=state.last_action)
+        fresh_state = self._fresh_state(merged_world, frame, frame_id)
         new_state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(_expand(done, a), a, b), fresh, stepped)
+            lambda a, b: jnp.where(_expand(done, a), a, b), fresh_state, stepped)
         return new_state, self.observe(new_state), reward, term, trunc, info
 
     # ---- batched conveniences ----

@@ -107,6 +107,7 @@ class TownData:
     dist_origin: np.ndarray              # (2,)
     dist_scale: float
     buildings: np.ndarray                # (B, 5) cx, cy, half_w, half_h, height
+    edges_xy: np.ndarray = None          # (E, 4) road centerline segments x0,y0,x1,y1
     nodes_xy: np.ndarray = field(default=None)
 
 
@@ -346,7 +347,10 @@ def build_town(name: str) -> TownData:
         spawn_xy=spawn_xy, spawn_yaw=spawn_yaw, spawn_wp=spawn_wp,
         texture=texture, texture_origin=tex_origin, texture_scale=TEXTURE_RES,
         dist_field=dist_field, dist_origin=dist_origin, dist_scale=DISTANCE_RES,
-        buildings=buildings, nodes_xy=nodes.astype(np.float32),
+        buildings=buildings,
+        edges_xy=np.asarray([[nodes[a][0], nodes[a][1], nodes[b][0], nodes[b][1]]
+                             for a, b in edges], np.float32),
+        nodes_xy=nodes.astype(np.float32),
     )
 
 
@@ -494,6 +498,8 @@ class TownBank:
     dist_scale: float
     buildings: np.ndarray        # (T, Bmax, 5)
     num_buildings: np.ndarray    # (T,)
+    edges_xy: np.ndarray         # (T, Emax, 4) road centerline segments
+    num_edges: np.ndarray        # (T,)
     extent: np.ndarray           # (T, 2)
 
 
@@ -508,6 +514,7 @@ def build_town_bank(names: List[str]) -> TownBank:
     n_j = max(len(t.junction_xy) for t in towns)
     n_s = max(len(t.spawn_xy) for t in towns)
     n_b = max(len(t.buildings) for t in towns)
+    n_e = max(len(t.edges_xy) for t in towns)
     th = max(t.texture.shape[0] for t in towns)
     tw = max(t.texture.shape[1] for t in towns)
     dh = max(t.dist_field.shape[0] for t in towns)
@@ -545,5 +552,7 @@ def build_town_bank(names: List[str]) -> TownBank:
         dist_scale=DISTANCE_RES,
         buildings=np.stack([_pad_to(t.buildings, n_b) for t in towns]),
         num_buildings=np.asarray([len(t.buildings) for t in towns], np.int32),
+        edges_xy=np.stack([_pad_to(t.edges_xy, n_e, 1e6) for t in towns]),
+        num_edges=np.asarray([len(t.edges_xy) for t in towns], np.int32),
         extent=np.asarray([t.extent for t in towns], np.float32),
     )

@@ -52,9 +52,10 @@ class TownDev(NamedTuple):
     spawn_wp: jax.Array
     num_spawn: jax.Array
     texture: jax.Array
-    dist_field: jax.Array
     buildings: jax.Array
     num_buildings: jax.Array
+    edges_xy: jax.Array
+    num_edges: jax.Array
     extent: jax.Array
 
 
@@ -142,9 +143,10 @@ def build_world_data(params: WorldParams) -> Tuple[TownDev, RoutesDev]:
         spawn_wp=jnp.asarray(bank.spawn_wp),
         num_spawn=jnp.asarray(bank.num_spawn),
         texture=jnp.asarray(bank.texture),
-        dist_field=jnp.asarray(bank.dist_field, jnp.float16),
         buildings=jnp.asarray(bank.buildings),
         num_buildings=jnp.asarray(bank.num_buildings),
+        edges_xy=jnp.asarray(bank.edges_xy),
+        num_edges=jnp.asarray(bank.num_edges),
         extent=jnp.asarray(bank.extent),
     )
     banks = []
@@ -213,13 +215,22 @@ def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
     )
 
 
-def _off_road_distance(town: TownDev, town_id, x, y, scale: float):
-    """Distance from the ego to the nearest road centerline via the
-    precomputed field (replaces UE4 static-mesh collision)."""
-    fld = town.dist_field[town_id]
-    xi = jnp.clip((x / scale).astype(jnp.int32), 0, fld.shape[1] - 1)
-    yi = jnp.clip((y / scale).astype(jnp.int32), 0, fld.shape[0] - 1)
-    return fld[yi, xi].astype(jnp.float32)
+def _off_road_distance(town: TownDev, town_id, x, y):
+    """Distance from the ego to the nearest road centerline, computed
+    analytically against the town's segments (replaces UE4 static-mesh
+    collision; compute-over-memory — no texture gather)."""
+    segs = town.edges_xy[town_id]                       # (E, 4)
+    valid = jnp.arange(segs.shape[0]) < town.num_edges[town_id]
+    ex = segs[:, 2] - segs[:, 0]
+    ey = segs[:, 3] - segs[:, 1]
+    L2 = jnp.maximum(ex * ex + ey * ey, 1e-9)
+    rx = x - segs[:, 0]
+    ry = y - segs[:, 1]
+    t = jnp.clip((rx * ex + ry * ey) / L2, 0.0, 1.0)
+    dx = rx - t * ex
+    dy = ry - t * ey
+    d = jnp.sqrt(dx * dx + dy * dy)
+    return jnp.min(jnp.where(valid, d, 1e9))
 
 
 def step_world(state: WorldState, action: jax.Array, params: WorldParams,
@@ -251,7 +262,7 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
     d_dest = _route_fns["distance_to_destination"](r_xy, r_len, pos)
 
     # --- collisions (core/carla_env.py:254-269) ---
-    off_road = _off_road_distance(town, state.town_id, x, y, town_mod.DISTANCE_RES)
+    off_road = _off_road_distance(town, state.town_id, x, y)
     hit_veh, hit_ped, hit_other = traffic.collision_check(
         pos, yaw, npc, off_road, off_road_threshold=params.off_road_threshold)
     pen = params.collision_penalty

@@ -1,23 +1,28 @@
-"""Camera rasterizer: ego-view RGB rendering of the town on-device.
+"""Camera rasterizer: analytic ego-view RGB rendering — zero gathers.
 
-This is the TPU-native replacement for CARLA's UE4 camera sensors
-(reference `rl/environments/carla/sensors.py`): three cameras mounted at
-z=2.2 m with yaw offsets -90/0/+90 deg and 90-degree FOV
-(`sensors.py:320-341`: 'lateral-left', 'on-top2', 'lateral-right'), whose
-images are concatenated side-by-side into (H, 3W, 3)
+TPU-native replacement for CARLA's UE4 camera sensors (reference
+`rl/environments/carla/sensors.py`): three cameras at z=2.2 m, yaw offsets
++90/0/-90 deg, 90-degree FOV ('lateral-left', 'on-top2', 'lateral-right' —
+`sensors.py:320-341`), concatenated side-by-side into (H, 3W, 3)
 (`environment.py:1248-1264`; CARLAEnv uses RGB cameras,
 `core/carla_env.py:111-126`).
 
-Method: per-pixel ground-plane ray casting. Every pixel's view ray either
-hits the ground plane — where the town's semantic texture is sampled and
-shaded — or the sky / a building (coarse 2D ray-march against the building
-occupancy encoded in the same texture). Dynamic actors (NPC vehicles,
-pedestrians) are composited as depth-tested billboards. Weather modulates sky
-color, light level, fog density, and road wetness
-(`envs/weather.py` presets; reference samples carla.WeatherParameters).
+Design note (why analytic): a texture-lookup renderer needs millions of
+random gathers per step — the worst access pattern for the TPU memory
+system. Instead every pixel's semantic class is COMPUTED from road geometry:
 
-The pure-XLA implementation below is the semantics reference; a fused Pallas
-kernel (`ops/rasterizer_pallas.py`) is used on TPU when enabled.
+  * ground pass: ray x ground-plane intersection -> distance to the K nearest
+    road centerline segments (pure broadcasted VPU math) -> road / lane
+    marking / sidewalk / crossing / terrain classification by distance bands;
+  * building pass: exact 2D slab-test ray intersection against the K nearest
+    building boxes, with per-building heights (no ray-march, no texture);
+  * actors: depth-tested billboards for the K nearest vehicles/pedestrians;
+  * weather: sky color, light level, fog, wet-road tint from the preset
+    vector (`envs/weather.py`).
+
+Everything is dense vectorized arithmetic over (H, W) maps — exactly what
+the VPU wants — and the only memory traffic is the O(K) nearest-entity
+gather per world per step.
 """
 
 from __future__ import annotations
@@ -32,23 +37,29 @@ CAMERA_HEIGHT = 2.2
 CAMERA_YAWS = (jnp.pi / 2.0, 0.0, -jnp.pi / 2.0)   # left, front, right
 FOV_DEG = 90.0
 
-# semantic palette (classes from envs/town.py)
-PALETTE = jnp.asarray([
-    [96, 128, 72],     # 0 terrain
-    [88, 88, 94],      # 1 road
-    [228, 228, 218],   # 2 lane marking
-    [158, 152, 148],   # 3 sidewalk
-    [122, 102, 96],    # 4 building
-    [200, 200, 200],   # 5 crossing
-], jnp.float32)
+ROAD_HALF = 3.5 + 0.3          # envs/town.py road band half-width
+SIDE_OUT = ROAD_HALF + 2.0     # + sidewalk
+JUNCTION_RADIUS = 9.0
 
-BUILDING_CLASS = 4
-N_MARCH = 24          # building ray-march steps
-MAX_ACTORS = 12       # nearest actors composited per view
+K_EDGES = 24
+K_BUILDINGS = 16
+K_ACTORS = 12
+MAX_DEPTH = 400.0
+
+COLOR_TERRAIN = jnp.asarray([96.0, 128.0, 72.0])
+COLOR_ROAD = jnp.asarray([88.0, 88.0, 94.0])
+COLOR_MARKING = jnp.asarray([228.0, 228.0, 218.0])
+COLOR_SIDEWALK = jnp.asarray([158.0, 152.0, 148.0])
+COLOR_BUILDING = jnp.asarray([122.0, 102.0, 96.0])
+COLOR_CROSSING = jnp.asarray([200.0, 200.0, 200.0])
 
 
 class RenderInputs(NamedTuple):
-    texture: jax.Array        # (TH, TW) uint8 semantic map of this world's town
+    edges_xy: jax.Array       # (E, 4) road centerline segments of this town
+    num_edges: jax.Array      # ()
+    buildings: jax.Array      # (B, 5) cx, cy, hw, hh, height
+    junctions: jax.Array      # (J, 2)
+    num_junctions: jax.Array  # ()
     ego_xy: jax.Array         # (2,)
     ego_yaw: jax.Array        # ()
     veh_xy: jax.Array         # (V, 2)
@@ -64,8 +75,8 @@ def _pixel_rays(height: int, width: int):
     fx = (width / 2.0) / jnp.tan(jnp.deg2rad(FOV_DEG) / 2.0)
     u = jnp.arange(width, dtype=jnp.float32) - (width - 1) / 2.0
     v = jnp.arange(height, dtype=jnp.float32) - (height - 1) / 2.0
-    yy = -u / fx                      # left positive
-    zz = -v / fx                      # up positive
+    yy = -u / fx
+    zz = -v / fx
     dy = jnp.broadcast_to(yy[None, :], (height, width))
     dz = jnp.broadcast_to(zz[:, None], (height, width))
     dx = jnp.ones((height, width), jnp.float32)
@@ -73,29 +84,44 @@ def _pixel_rays(height: int, width: int):
     return dx / norm, dy / norm, dz / norm
 
 
-def _sample_texture(texture, x, y, scale):
-    th, tw = texture.shape
-    xi = jnp.clip((x / scale).astype(jnp.int32), 0, tw - 1)
-    yi = jnp.clip((y / scale).astype(jnp.int32), 0, th - 1)
-    return texture[yi, xi].astype(jnp.int32)
+def _nearest_k(xy: jax.Array, center: jax.Array, valid: jax.Array, k: int):
+    d = jnp.linalg.norm(xy - center[None], axis=-1)
+    d = jnp.where(valid, d, 1e9)
+    _, idx = jax.lax.top_k(-d, min(k, xy.shape[0]))
+    return idx
 
 
-def _shade_weather(rgb, depth, sky_rgb, weather, is_road):
-    sun, clouds, rain, wet, fog = (weather[i] for i in range(5))
-    light = 1.0 - 0.35 * clouds - 0.15 * rain
-    warm = jnp.asarray([1.0 + 0.25 * sun, 1.0, 1.0 - 0.2 * sun])
-    rgb = rgb * light * warm[None, None, :]
-    # wet roads darken and reflect a bit of sky
-    rgb = jnp.where(is_road[..., None] > 0,
-                    rgb * (1.0 - 0.35 * wet) + sky_rgb[None, None, :] * 0.12 * wet,
-                    rgb)
-    # distance fog
-    fog_f = 1.0 - jnp.exp(-depth * (0.002 + 0.05 * fog))
-    return rgb * (1 - fog_f[..., None]) + sky_rgb[None, None, :] * fog_f[..., None]
+def _min_seg_distance(px, py, segs):
+    """Min distance from pixel points to K segments + arclength at the min.
+
+    Fused reduction over K via fori_loop so only (H, W) accumulators live in
+    memory — materializing (K, H, W) intermediates costs GBs of HBM traffic
+    per step at batch, which was measured to dominate render time.
+    """
+    def body(k, carry):
+        d_min, t_min = carry
+        x0, y0, x1, y1 = segs[k, 0], segs[k, 1], segs[k, 2], segs[k, 3]
+        ex = x1 - x0
+        ey = y1 - y0
+        L2 = jnp.maximum(ex * ex + ey * ey, 1e-9)
+        rx = px - x0
+        ry = py - y0
+        t = jnp.clip((rx * ex + ry * ey) / L2, 0.0, 1.0)
+        dx = rx - t * ex
+        dy = ry - t * ey
+        d = dx * dx + dy * dy                      # squared; sqrt once at end
+        closer = d < d_min
+        return (jnp.where(closer, d, d_min),
+                jnp.where(closer, t * jnp.sqrt(L2), t_min))
+
+    d0 = jnp.full(px.shape, 1e12)
+    t0 = jnp.zeros(px.shape)
+    d2, t_at = jax.lax.fori_loop(0, segs.shape[0], body, (d0, t0))
+    return jnp.sqrt(d2), t_at
 
 
 def _sky_color(weather):
-    sun, clouds, rain, _, _ = (weather[i] for i in range(5))
+    sun, clouds, rain = weather[0], weather[1], weather[2]
     clear = jnp.asarray([135.0, 190.0, 235.0])
     sunset = jnp.asarray([240.0, 160.0, 110.0])
     overcast = jnp.asarray([150.0, 152.0, 158.0])
@@ -104,59 +130,108 @@ def _sky_color(weather):
     return sky * (1.0 - 0.25 * rain)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tex_scale"))
-def render_view(inputs: RenderInputs, cam_yaw_offset: jax.Array,
-                height: int = 90, width: int = 120,
-                tex_scale: float = 0.5) -> jax.Array:
+def _shade_weather(rgb, depth, sky_rgb, weather, is_road):
+    clouds, rain, wet, fog = weather[1], weather[2], weather[3], weather[4]
+    sun = weather[0]
+    light = 1.0 - 0.35 * clouds - 0.15 * rain
+    warm = jnp.stack([1.0 + 0.25 * sun, jnp.ones(()), 1.0 - 0.2 * sun])
+    rgb = rgb * light * warm[None, None, :]
+    rgb = jnp.where(is_road[..., None],
+                    rgb * (1.0 - 0.35 * wet) + sky_rgb[None, None, :] * 0.12 * wet,
+                    rgb)
+    fog_f = 1.0 - jnp.exp(-depth * (0.002 + 0.05 * fog))
+    return rgb * (1 - fog_f[..., None]) + sky_rgb[None, None, :] * fog_f[..., None]
+
+
+def render_view(inputs: RenderInputs, cam_yaw_offset, height: int = 90,
+                width: int = 120) -> jax.Array:
     """Render one camera view -> (height, width, 3) float32 in [0, 255]."""
     dx_c, dy_c, dz = _pixel_rays(height, width)
     yaw = inputs.ego_yaw + cam_yaw_offset
     cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
     dx = dx_c * cos_y - dy_c * sin_y
     dy = dx_c * sin_y + dy_c * cos_y
-
     ex, ey = inputs.ego_xy[0], inputs.ego_xy[1]
     sky_rgb = _sky_color(inputs.weather)
 
-    # ---- ground pass ----
+    # ---- ground intersection ----
     below = dz < -1e-4
     t_ground = jnp.where(below, -CAMERA_HEIGHT / jnp.where(below, dz, -1.0), 1e6)
+    t_ground = jnp.minimum(t_ground, MAX_DEPTH)
     gx = ex + t_ground * dx
     gy = ey + t_ground * dy
-    klass = _sample_texture(inputs.texture, gx, gy, tex_scale)
-    ground_rgb = PALETTE[klass]
-    ground_is_building = (klass == BUILDING_CLASS)
 
-    # ---- building pass: coarse ray-march for pixels above the horizon ----
-    # march along the ray at increasing ranges; hit if the texture cell is a
-    # building whose height exceeds the ray's altitude at that range
-    t_march = jnp.linspace(4.0, 120.0, N_MARCH)
-    bx = ex + t_march[:, None, None] * dx[None]
-    by = ey + t_march[:, None, None] * dy[None]
-    bz = CAMERA_HEIGHT + t_march[:, None, None] * dz[None]
-    k_m = _sample_texture(inputs.texture, bx, by, tex_scale)
-    # buildings are ~14 m tall on average (heights vary per-building on host;
-    # the render uses a single canopy height for speed)
-    hit = (k_m == BUILDING_CLASS) & (bz > 0.2) & (bz < 14.0)
-    any_hit = jnp.any(hit, axis=0)
-    first = jnp.argmax(hit, axis=0)
-    t_build = jnp.where(any_hit, t_march[first], 1e6)
-    shade = 1.0 - 0.5 * jnp.clip(t_build / 120.0, 0.0, 1.0)
-    build_rgb = PALETTE[BUILDING_CLASS][None, None, :] * shade[..., None]
+    # ---- K nearest road segments: distance bands -> classes ----
+    e_idx = _nearest_k(
+        0.5 * (inputs.edges_xy[:, :2] + inputs.edges_xy[:, 2:]),
+        inputs.ego_xy,
+        jnp.arange(inputs.edges_xy.shape[0]) < inputs.num_edges, K_EDGES)
+    segs = inputs.edges_xy[e_idx]
+    d_road, t_at = _min_seg_distance(gx, gy, segs)
 
-    # combine ground/building/sky by nearest hit
-    ground_ok = below & (t_ground < 400.0) & ~ground_is_building
-    t_g = jnp.where(ground_ok, t_ground, 1e6)
+    dashed = jnp.floor(t_at / 2.0) % 2 == 0
+    is_center_marking = (d_road < 0.15) & dashed
+    is_edge_marking = jnp.abs(d_road - (ROAD_HALF - 0.2)) < 0.12
+    is_road = d_road < ROAD_HALF
+    is_sidewalk = (d_road >= ROAD_HALF) & (d_road < SIDE_OUT)
+
+    # crossings near junctions (striped bands, envs/town.py semantics)
+    j_idx = _nearest_k(inputs.junctions, inputs.ego_xy,
+                       jnp.arange(inputs.junctions.shape[0]) < inputs.num_junctions, 4)
+    jx = inputs.junctions[j_idx]
+
+    def j_body(k, d_jmin):
+        d = jnp.square(gx - jx[k, 0]) + jnp.square(gy - jx[k, 1])
+        return jnp.minimum(d_jmin, d)
+
+    d_jmin = jnp.sqrt(jax.lax.fori_loop(0, jx.shape[0], j_body,
+                                        jnp.full(gx.shape, 1e12)))
+    band = (d_jmin > JUNCTION_RADIUS * 0.85) & (d_jmin < JUNCTION_RADIUS * 0.85 + 2.0)
+    stripes = jnp.floor((gx + gy) / 0.6) % 2 == 0
+    is_crossing = band & stripes & is_road
+
+    ground_rgb = jnp.where(
+        is_crossing[..., None], COLOR_CROSSING,
+        jnp.where((is_center_marking | is_edge_marking)[..., None], COLOR_MARKING,
+                  jnp.where(is_road[..., None], COLOR_ROAD,
+                            jnp.where(is_sidewalk[..., None], COLOR_SIDEWALK,
+                                      COLOR_TERRAIN))))
+
+    # ---- buildings: exact ray/box intersection (2D slabs + height) ----
+    b_idx = _nearest_k(inputs.buildings[:, :2], inputs.ego_xy,
+                       inputs.buildings[:, 4] > 0.5, K_BUILDINGS)
+    bb = inputs.buildings[b_idx]                     # (K, 5)
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-6, 1e-6, dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-6, 1e-6, dy)
+
+    def b_body(k, t_build):
+        cx, cy, hw, hh, bh = bb[k, 0], bb[k, 1], bb[k, 2], bb[k, 3], bb[k, 4]
+        tx0 = (cx - hw - ex) * inv_dx
+        tx1 = (cx + hw - ex) * inv_dx
+        ty0 = (cy - hh - ey) * inv_dy
+        ty1 = (cy + hh - ey) * inv_dy
+        t_near = jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1))
+        t_far = jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1))
+        z_near = CAMERA_HEIGHT + t_near * dz
+        hit = (t_near > 0.5) & (t_near <= t_far) & (z_near > 0.0) & (z_near < bh)
+        return jnp.minimum(t_build, jnp.where(hit, t_near, 1e6))
+
+    t_build = jax.lax.fori_loop(0, bb.shape[0], b_body, jnp.full(dx.shape, 1e6))
+    shade = 1.0 - 0.5 * jnp.clip(t_build / 150.0, 0.0, 1.0)
+    build_rgb = COLOR_BUILDING[None, None, :] * shade[..., None]
+
+    # ---- compose ground / building / sky ----
+    t_g = jnp.where(below & (t_ground < MAX_DEPTH), t_ground, 1e6)
     use_build = t_build < t_g
     depth = jnp.minimum(t_g, t_build)
     rgb = jnp.where(use_build[..., None], build_rgb,
-                    jnp.where(ground_ok[..., None], ground_rgb, sky_rgb[None, None, :]))
-    is_road = ground_ok & ((klass == 1) | (klass == 2) | (klass == 5)) & ~use_build
+                    jnp.where((t_g < 1e6)[..., None], ground_rgb, sky_rgb[None, None, :]))
+    road_px = (t_g < 1e6) & is_road & ~use_build
 
-    # ---- actor billboards (depth-tested) ----
+    # ---- actor billboards ----
     rgb, depth = _composite_actors(rgb, depth, inputs, yaw, ex, ey, height, width)
 
-    rgb = _shade_weather(rgb, depth, sky_rgb, inputs.weather, is_road)
+    rgb = _shade_weather(rgb, depth, sky_rgb, inputs.weather, road_px)
     return jnp.clip(rgb, 0.0, 255.0)
 
 
@@ -164,62 +239,53 @@ def _composite_actors(rgb, depth, inputs: RenderInputs, yaw, ex, ey, height, wid
     fx = (width / 2.0) / jnp.tan(jnp.deg2rad(FOV_DEG) / 2.0)
     cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
 
-    # gather nearest MAX_ACTORS vehicles and pedestrians
-    def nearest(xy, active, k):
-        d = jnp.linalg.norm(xy - jnp.stack([ex, ey])[None], axis=-1)
-        d = jnp.where(active > 0, d, 1e9)
-        idx = jnp.argsort(d)[:k]
-        return idx, d[idx] < 1e8
-
-    v_idx, v_ok = nearest(inputs.veh_xy, inputs.veh_active, MAX_ACTORS)
-    p_idx, p_ok = nearest(inputs.ped_xy, inputs.ped_active, MAX_ACTORS)
-
-    def billboard(axy, ok, half_w, h_top, color, a_yaw=None):
-        # actor center in camera frame
-        rx = axy[:, 0] - ex
-        ry = axy[:, 1] - ey
-        cx = rx * cos_y + ry * sin_y          # forward
-        cy = -rx * sin_y + ry * cos_y         # left
-        in_front = (cx > 0.8) & ok
-        u = (-cy / jnp.maximum(cx, 0.1)) * fx + (width - 1) / 2.0
-        half_u = (half_w / jnp.maximum(cx, 0.1)) * fx
-        # vertical: rows for z in [0, h_top] above ground, camera at CAMERA_HEIGHT
-        v_bottom = ((CAMERA_HEIGHT - 0.0) / jnp.maximum(cx, 0.1)) * fx + (height - 1) / 2.0
-        v_top = ((CAMERA_HEIGHT - h_top) / jnp.maximum(cx, 0.1)) * fx + (height - 1) / 2.0
-        uu = jnp.arange(width, dtype=jnp.float32)[None, :]       # (1, W)
-        vv = jnp.arange(height, dtype=jnp.float32)[:, None]      # (H, 1)
-        cover = ((jnp.abs(uu[None] - u[:, None, None]) < half_u[:, None, None])
-                 & (vv[None] >= v_top[:, None, None]) & (vv[None] <= v_bottom[:, None, None])
-                 & in_front[:, None, None])                       # (A, H, W)
-        a_depth = jnp.where(cover, cx[:, None, None], 1e6)
-        return cover, a_depth, color
+    v_idx = _nearest_k(inputs.veh_xy, inputs.ego_xy, inputs.veh_active > 0,
+                       min(K_ACTORS, inputs.veh_xy.shape[0]))
+    p_idx = _nearest_k(inputs.ped_xy, inputs.ego_xy, inputs.ped_active > 0,
+                       min(K_ACTORS, inputs.ped_xy.shape[0]))
+    v_ok = inputs.veh_active[v_idx] > 0
+    p_ok = inputs.ped_active[p_idx] > 0
 
     veh_colors = jnp.asarray([[180, 30, 30], [30, 60, 180], [220, 220, 220],
                               [40, 40, 40], [200, 170, 40], [90, 140, 190]], jnp.float32)
-    v_col = veh_colors[v_idx % 6]
-    v_cover, v_depth, _ = billboard(inputs.veh_xy[v_idx], v_ok, 1.0, 1.6, v_col)
-    p_col = jnp.tile(jnp.asarray([[190, 120, 90]], jnp.float32), (MAX_ACTORS, 1))
-    p_cover, p_depth, _ = billboard(inputs.ped_xy[p_idx], p_ok, 0.3, 1.8, p_col)
+    # actor table: (A, 7) = x, y, ok, half_w, h_top, color_r/g/b packed after
+    a_xy = jnp.concatenate([inputs.veh_xy[v_idx], inputs.ped_xy[p_idx]], axis=0)
+    a_ok = jnp.concatenate([v_ok, p_ok], axis=0)
+    a_hw = jnp.concatenate([jnp.full(v_idx.shape, 1.0), jnp.full(p_idx.shape, 0.3)])
+    a_ht = jnp.concatenate([jnp.full(v_idx.shape, 1.6), jnp.full(p_idx.shape, 1.8)])
+    a_col = jnp.concatenate([veh_colors[v_idx % 6],
+                             jnp.tile(jnp.asarray([[190, 120, 90]], jnp.float32),
+                                      (p_idx.shape[0], 1))], axis=0)
 
-    cover = jnp.concatenate([v_cover, p_cover], axis=0)            # (2A, H, W)
-    a_depth = jnp.concatenate([v_depth, p_depth], axis=0)
-    colors = jnp.concatenate([v_col, p_col], axis=0)               # (2A, 3)
+    uu = jnp.arange(width, dtype=jnp.float32)[None, :]
+    vv = jnp.arange(height, dtype=jnp.float32)[:, None]
 
-    a_depth_masked = jnp.where(cover, a_depth, 1e6)
-    best = jnp.argmin(a_depth_masked, axis=0)                      # (H, W)
-    best_depth = jnp.min(a_depth_masked, axis=0)
-    visible = (best_depth < depth)
-    actor_rgb = colors[best]
-    rgb = jnp.where(visible[..., None], actor_rgb, rgb)
-    depth = jnp.where(visible, best_depth, depth)
+    def a_body(k, carry):
+        rgb, depth = carry
+        rx = a_xy[k, 0] - ex
+        ry = a_xy[k, 1] - ey
+        cx = rx * cos_y + ry * sin_y
+        cy = -rx * sin_y + ry * cos_y
+        denom = jnp.maximum(cx, 0.1)
+        u = (-cy / denom) * fx + (width - 1) / 2.0
+        half_u = (a_hw[k] / denom) * fx
+        v_bottom = (CAMERA_HEIGHT / denom) * fx + (height - 1) / 2.0
+        v_top = ((CAMERA_HEIGHT - a_ht[k]) / denom) * fx + (height - 1) / 2.0
+        cover = ((jnp.abs(uu - u) < half_u) & (vv >= v_top) & (vv <= v_bottom)
+                 & (cx > 0.8) & a_ok[k])
+        visible = cover & (cx < depth)
+        rgb = jnp.where(visible[..., None], a_col[k][None, None, :], rgb)
+        depth = jnp.where(visible, cx, depth)
+        return rgb, depth
+
+    rgb, depth = jax.lax.fori_loop(0, a_xy.shape[0], a_body, (rgb, depth))
     return rgb, depth
 
 
-def render_cameras(inputs: RenderInputs, height: int = 90, width: int = 120,
-                   tex_scale: float = 0.5) -> jax.Array:
+def render_cameras(inputs: RenderInputs, height: int = 90, width: int = 120) -> jax.Array:
     """Render the three-camera concat image -> (H, 3W, 3) uint8
     (left | front | right, reference `environment.py:1259`)."""
-    views = [render_view(inputs, jnp.asarray(y), height=height, width=width,
-                         tex_scale=tex_scale) for y in CAMERA_YAWS]
+    views = [render_view(inputs, jnp.asarray(y), height=height, width=width)
+             for y in CAMERA_YAWS]
     img = jnp.concatenate(views, axis=1)
     return img.astype(jnp.uint8)
