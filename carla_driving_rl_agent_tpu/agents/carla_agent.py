@@ -276,10 +276,21 @@ class CARLAgent:
                 navigation=flat(traj.navigation),
             )
 
-            def gather_batch(idx):
+            def gather_batch(idx, key=None):
                 mb = {k: v[idx] for k, v in data.items()}
                 img = rollout_mod.gather_image_stacks(traj, flat_step[idx], flat_env[idx])
-                obs = dict(state_image=img.astype(jnp.float32) / 255.0,
+                img = img.astype(jnp.float32) / 255.0
+                if cfg.aug_intensity > 0.0 and key is not None:
+                    # probability-gated augmentation pipeline applied to each
+                    # sample's whole T-stack (reference core/carla_agent.py:527-579)
+                    from carla_driving_rl_agent_tpu.augment.simclr import (
+                        carla_augment_pipeline)
+                    keys = jax.random.split(key, img.shape[0])
+                    aug_one = jax.vmap(carla_augment_pipeline,
+                                       in_axes=(None, 0, None))  # shared key over T
+                    img = jax.vmap(aug_one, in_axes=(0, 0, None))(
+                        keys, img, cfg.aug_intensity)
+                obs = dict(state_image=img,
                            state_road=mb["road"], state_vehicle=mb["vehicle"],
                            state_navigation=mb["navigation"], action=mb["action"])
                 mb["obs"] = obs
@@ -290,10 +301,10 @@ class CARLAgent:
 
             def policy_minibatch(carry, mb_idx):
                 params, stats, opt_state, key = carry
-                key, k_s = jax.random.split(key)
+                key, k_s, k_aug = jax.random.split(key, 3)
                 idx = jax.lax.dynamic_slice_in_dim(perm_p, mb_idx * cfg.batch_size,
                                                    cfg.batch_size)
-                batch = gather_batch(idx)
+                batch = gather_batch(idx, k_aug)
 
                 def loss_fn(pd):
                     return self._policy_loss(pd["policy"], pd["dynamics"], stats,
@@ -334,9 +345,10 @@ class CARLAgent:
 
             def value_minibatch(carry, mb_idx):
                 params, stats, opt_state, key = carry
+                key, k_aug = jax.random.split(key)
                 idx = jax.lax.dynamic_slice_in_dim(perm_v, mb_idx * cfg.batch_size,
                                                    cfg.batch_size)
-                batch = gather_batch(idx)
+                batch = gather_batch(idx, k_aug)
 
                 def loss_fn(vd):
                     return self._value_loss(vd["value"], vd["dynamics"], stats, batch)
@@ -423,6 +435,273 @@ class CARLAgent:
             if callback is not None:
                 callback(self.update_step, host_metrics)
         return env_states, history
+
+    # ------------------------------------------------------------------
+    # evaluation (reference core/carla_agent.py:205-321)
+    # ------------------------------------------------------------------
+    def _build_eval_fn(self, num_worlds: int, timesteps: int):
+        env = self.env
+        net = self.network
+
+        def eval_rollout(params, stats, key, consts):
+            with env.bind(consts):
+                k_reset, key = jax.random.split(key)
+                states, _ = env.reset_batch(k_reset, num_worlds)
+                acc = dict(
+                    active=jnp.ones(num_worlds),
+                    total_reward=jnp.zeros(num_worlds),
+                    similarity=jnp.zeros(num_worlds),
+                    speed=jnp.zeros(num_worlds),
+                    waypoint_distance=jnp.zeros(num_worlds),
+                    timesteps=jnp.zeros(num_worlds),
+                    collision=jnp.zeros(num_worlds),
+                )
+
+                def step_fn(carry, _):
+                    states, key, acc = carry
+                    key, k = jax.random.split(key)
+                    obs = env.observe(states)
+                    net_in = {f"state_{k2}": v for k2, v in obs.items()}
+                    net_in["action"] = states.last_action
+                    pred = net.predict(params, stats, net_in, k)
+                    from carla_driving_rl_agent_tpu.envs.carla_env import convert_action
+                    states, _, reward, term, trunc, info = env.step_batch(
+                        states, convert_action(pred["action"]))
+                    a = acc["active"]
+                    done = (term | trunc).astype(jnp.float32)
+                    acc = dict(
+                        active=a * (1.0 - done),
+                        total_reward=acc["total_reward"] + reward * a,
+                        similarity=acc["similarity"] + info["similarity"] * a,
+                        speed=acc["speed"] + info["speed"] * a,
+                        waypoint_distance=acc["waypoint_distance"]
+                        + info["distance_to_next_waypoint"] * a,
+                        timesteps=acc["timesteps"] + a,
+                        collision=jnp.maximum(
+                            acc["collision"],
+                            info["collision"].astype(jnp.float32) * a * done),
+                    )
+                    return (states, key, acc), None
+
+                (states, key, acc), _ = jax.lax.scan(
+                    step_fn, (states, key, acc), None, length=timesteps)
+                return acc
+
+        return jax.jit(eval_rollout)
+
+    def evaluate(self, name: str, timesteps: int, trials: int,
+                 seeds=None, initial_seed: Optional[int] = None,
+                 evaluation_dir: Optional[str] = None) -> dict:
+        """Run `trials` evaluation episodes and write the per-scenario JSON
+        with the six metrics (reference `core/carla_agent.py:205-321`):
+        collision_rate, similarity, waypoint_distance, speed, total_reward,
+        timesteps.  Episodes shorter than 32 steps are discarded (accidental
+        first-step collisions, reference `:284`); total_reward clips at -1000
+        (`:286`).  Trials run as parallel worlds instead of sequentially."""
+        if isinstance(initial_seed, int):
+            self._key = jax.random.PRNGKey(initial_seed)
+
+        # oversample worlds so >=trials valid episodes survive the t>32 filter
+        num_worlds = max(trials + 8, int(trials * 1.25))
+        eval_fn = self._build_eval_fn(num_worlds, timesteps)
+        self._key, k = jax.random.split(self._key)
+        acc = jax.device_get(eval_fn(self.params, self.stats, k, self.env.consts))
+
+        steps = np.maximum(acc["timesteps"], 1.0)
+        valid = acc["timesteps"] > 32
+        if valid.sum() < trials:
+            valid = acc["timesteps"] > 0  # degenerate config: keep everything
+        idx = np.nonzero(valid)[0][:trials]
+
+        results = dict(
+            collision_rate=acc["collision"][idx].tolist(),
+            similarity=(acc["similarity"][idx] / steps[idx]).tolist(),
+            waypoint_distance=(acc["waypoint_distance"][idx] / steps[idx]).tolist(),
+            speed=(acc["speed"][idx] / steps[idx]).tolist(),
+            total_reward=np.maximum(acc["total_reward"][idx], -1000.0).tolist(),
+            timesteps=acc["timesteps"][idx].tolist(),
+        )
+        record = {}
+        for k2, v in results.items():
+            record[k2] = v
+            record[f"{k2}_mean"] = float(np.mean(v)) if len(v) else 0.0
+            record[f"{k2}_std"] = float(np.std(v)) if len(v) else 0.0
+
+        eval_dir = evaluation_dir or os.path.join(self.base_path, "evaluation")
+        os.makedirs(eval_dir, exist_ok=True)
+        with open(os.path.join(eval_dir, f"{name}.json"), "w") as f:
+            json.dump(record, f, indent=2)
+        return results
+
+    # ------------------------------------------------------------------
+    # trace collection + imitation (reference rl/agents/ppo.py:360-462)
+    # ------------------------------------------------------------------
+    def collect(self, episodes: int, timesteps: int,
+                record_threshold: float = 0.0, traces_dir: str = "traces",
+                seed: int = 42) -> int:
+        """Collect network-driven traces (reference `PPOAgent.collect`,
+        `rl/agents/ppo.py:360-413`): rollouts of the CURRENT policy serialized
+        as npz with states/actions/rewards/log_probs/values."""
+        env = self.env
+        num_envs = min(self.config.num_envs, max(episodes, 1))
+        net = self.network
+
+        def run(params, stats, key, consts):
+            with env.bind(consts):
+                k_r, key = jax.random.split(key)
+                states, _ = env.reset_batch(k_r, num_envs)
+
+                def step_fn(carry, _):
+                    states, key = carry
+                    key, k = jax.random.split(key)
+                    obs = env.observe(states)
+                    net_in = {f"state_{k2}": v for k2, v in obs.items()}
+                    net_in["action"] = states.last_action
+                    pred = net.predict(params, stats, net_in, k)
+                    from carla_driving_rl_agent_tpu.envs.carla_env import convert_action
+                    states, _, reward, term, trunc, info = env.step_batch(
+                        states, convert_action(pred["action"]))
+                    rec = dict(
+                        state_image=(obs["image"] * 255).astype(jnp.uint8),
+                        state_road=obs["road"], state_vehicle=obs["vehicle"],
+                        state_navigation=obs["navigation"],
+                        action=pred["action"], log_prob=pred["log_prob"],
+                        value=pred["value"], reward=reward,
+                        done=(term | trunc).astype(jnp.float32),
+                        speed=info["speed"], similarity=info["similarity"])
+                    return (states, key), rec
+
+                _, recs = jax.lax.scan(step_fn, (states, key), None,
+                                       length=timesteps)
+                return recs
+
+        run_fn = jax.jit(run)
+        os.makedirs(traces_dir, exist_ok=True)
+        key = jax.random.PRNGKey(seed)
+        written = 0
+        import time as _time
+        while written < episodes:
+            key, k = jax.random.split(key)
+            recs = jax.device_get(run_fn(self.params, self.stats, k, env.consts))
+            for b in range(num_envs):
+                if written >= episodes:
+                    break
+                done = recs["done"][:, b]
+                end = int(np.argmax(done)) + 1 if done.any() else timesteps
+                if float(recs["reward"][:end, b].sum()) < record_threshold:
+                    continue
+                trace = {k2: np.asarray(v[:end, b]) for k2, v in recs.items()}
+                fname = f"trace-{written}-{_time.strftime('%Y%m%d-%H%M%S')}.npz"
+                np.savez_compressed(os.path.join(traces_dir, fname), **trace)
+                written += 1
+        return written
+
+    def imitate(self, epochs: int = 1, batch_size: Optional[int] = None,
+                traces_dir: str = "traces", shuffle_data: bool = True,
+                seed: Optional[int] = None) -> list:
+        """Learn from recorded traces (reference `PPOAgent.imitate`,
+        `rl/agents/ppo.py:415-462`): per trace batch, recompute
+        returns/advantages from the stored rewards+values, then run the
+        policy and value objectives.  Traces without log_prob/value (expert
+        traces from CARLACollectWrapper) get them from the current network
+        (behavior-cloning-flavoured PPO)."""
+        from carla_driving_rl_agent_tpu.utils import traces as trace_io
+        cfg = self.config
+        batch_size = batch_size or cfg.batch_size
+        losses = []
+
+        @jax.jit
+        def imitation_update(params, stats, opt_state, batch, hyper, key):
+            def p_loss(pd):
+                return self._policy_loss(pd["policy"], pd["dynamics"], stats,
+                                         batch, hyper, key)
+            (pl, paux), pg = jax.value_and_grad(p_loss, has_aux=True)(
+                dict(policy=params["policy"], dynamics=params["dynamics"]))
+
+            def v_loss(vd):
+                return self._value_loss(vd["value"], vd["dynamics"], stats, batch)
+            (vl, vaux), vg = jax.value_and_grad(v_loss, has_aux=True)(
+                dict(value=params["value"], dynamics=params["dynamics"]))
+
+            new_params = dict(params, old_policy=params["policy"])
+            up, op = self.policy_opt.update(
+                um.clip_gradients(pg["policy"], cfg.clip_norm[0]),
+                opt_state["policy"], params["policy"])
+            new_params["policy"] = optax.apply_updates(params["policy"], up)
+            uv, ov = self.value_opt.update(
+                um.clip_gradients(vg["value"], cfg.clip_norm[1]),
+                opt_state["value"], params["value"])
+            new_params["value"] = optax.apply_updates(params["value"], uv)
+            g_dyn = jax.tree_util.tree_map(
+                lambda a, b: a + b, pg["dynamics"], vg["dynamics"])
+            ud, od = self.dynamics_opt.update(
+                um.clip_gradients(g_dyn, cfg.clip_norm[2]),
+                opt_state["dynamics"], params["dynamics"])
+            new_params["dynamics"] = optax.apply_updates(params["dynamics"], ud)
+            new_stats = dict(stats, dynamics=vaux["d_stats"],
+                             policy=paux["p_stats"], value=vaux["v_stats"])
+            new_opt = dict(policy=op, value=ov, dynamics=od)
+            return new_params, new_stats, new_opt, pl, vl
+
+        rng = np.random.default_rng(seed)
+        for epoch in range(epochs):
+            for trace in trace_io.load_traces(traces_dir, shuffle=True, seed=seed):
+                n = len(trace["reward"])
+                if n < 4:
+                    continue
+                rewards = jnp.asarray(trace["reward"])
+                if "value" in trace:
+                    values = um.compose_number(jnp.asarray(trace["value"][:, 0]),
+                                               jnp.asarray(trace["value"][:, 1]))
+                else:
+                    values = jnp.zeros(n)
+                dones = jnp.asarray(trace.get("done", np.zeros(n)))
+                adv, _ = um.batched_gae(rewards[:, None], values[:, None],
+                                        dones[:, None], jnp.zeros(1),
+                                        cfg.gamma, cfg.lambda_)
+                adv = um.sp_norm(adv[:, 0]) * float(self.adv_scale())
+                rets = um.discount_cumsum(rewards, cfg.gamma)
+                rb, re = um.decompose_number(rets)
+                returns_be = jnp.stack([rb, re], axis=-1)
+
+                order = rng.permutation(n) if shuffle_data else np.arange(n)
+                for i0 in range(0, n - batch_size + 1, batch_size):
+                    idx = order[i0:i0 + batch_size]
+                    obs = dict(
+                        state_image=jnp.asarray(
+                            trace["state_image"][idx], jnp.float32) / 255.0,
+                        state_road=jnp.asarray(trace["state_road"][idx]),
+                        state_vehicle=jnp.asarray(trace["state_vehicle"][idx]),
+                        state_navigation=jnp.asarray(trace["state_navigation"][idx]),
+                        action=jnp.asarray(trace["action"][idx]))
+                    if "log_prob" in trace:
+                        log_prob = jnp.asarray(trace["log_prob"][idx])
+                    else:
+                        # expert trace: log-prob of the expert action under
+                        # the current (old) policy
+                        feat, _ = self.network.dynamics_apply(
+                            self.params, self.stats, obs, training=False)
+                        pol, _ = self.network.policy_apply(
+                            self.params, self.stats, feat, training=False, old=True)
+                        a01 = (jnp.asarray(trace["action"][idx]) + 1.0) / 2.0
+                        log_prob = pol["dist"].log_prob(a01)
+                    speed = jnp.asarray(
+                        trace.get("speed", np.zeros(n))[idx]) / 100.0
+                    similarity = jnp.asarray(
+                        trace.get("similarity", np.zeros(n))[idx])
+                    batch = dict(obs=obs, advantages=adv[idx],
+                                 returns=returns_be[idx], log_prob=log_prob,
+                                 speed=speed, similarity=similarity)
+                    self._key, k = jax.random.split(self._key)
+                    out = imitation_update(self.params, self.stats,
+                                           self.opt_state, batch,
+                                           self._hyper(), k)
+                    self.params, self.stats, self.opt_state, pl, vl = out
+                    losses.append((float(pl), float(vl)))
+        return losses
+
+    # alias used by the Stage orchestrator (reference core/learning.py:180-181)
+    imitation_learning = imitate
 
     # ------------------------------------------------------------------
     # checkpointing (reference core/networks.py:297-310, rl/agents/ppo.py:601-616)

@@ -1,0 +1,94 @@
+"""Privileged expert autopilot (vectorized BehaviorAgent).
+
+Distills the reference's privileged navigation stack — `BehaviorAgent`
+(`navigation/behavior_agent.py:363-432`: traffic-light manager -> pedestrian
+avoidance -> car-following -> intersection slow-down -> cruise), its
+`LocalPlanner` waypoint buffer, and the `VehiclePIDController`
+(`navigation/controller.py:15-214`, steer cap 0.8, throttle cap 0.75) — into
+a pure-JAX policy over the ego's planned route.  Used by the collect wrapper
+to produce imitation traces (reference `CARLACollectWrapper`,
+`rl/environments/carla/environment.py:667-825`).
+
+Behaviour profiles (reference `navigation/types_behavior.py:7-40`):
+cautious / normal / aggressive = speed factor + safety distances.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from carla_driving_rl_agent_tpu.envs.dynamics import MS_TO_KMH
+from carla_driving_rl_agent_tpu.envs.world import WorldState, WorldParams, TownDev, RoutesDev
+from carla_driving_rl_agent_tpu.envs import traffic
+
+BEHAVIORS = dict(
+    cautious=dict(speed_factor=0.6, hazard_distance=24.0, brake_gain=1.4),
+    normal=dict(speed_factor=0.8, hazard_distance=18.0, brake_gain=1.0),
+    aggressive=dict(speed_factor=1.0, hazard_distance=12.0, brake_gain=0.8),
+)
+
+STEER_GAIN = 1.8
+STEER_CAP = 0.8          # reference controller.py caps steer at 0.8
+LOOKAHEAD = 3            # route waypoints ahead for the steering target
+
+
+def expert_action(state: WorldState, params: WorldParams, town: TownDev,
+                  routes: RoutesDev, behaviour: str = "normal",
+                  ignore_traffic_light: bool = True) -> jax.Array:
+    """Expert action in the env's [-1, 1]^2 action space (throttle-as-desired-
+    speed encoding, so a0 = 2 * desired_kmh / 100 - 1)."""
+    prof = BEHAVIORS[behaviour]
+    pos = jnp.stack([state.x, state.y])
+
+    # steering: pure pursuit of a look-ahead route waypoint
+    r_xy = routes.xy[state.town_id, state.route_id]
+    r_len = routes.length[state.town_id, state.route_id]
+    target_idx = jnp.minimum(state.wp_idx + LOOKAHEAD, r_len - 1)
+    to_t = r_xy[target_idx] - pos
+    desired_yaw = jnp.arctan2(to_t[1], to_t[0])
+    yaw_err = jnp.arctan2(jnp.sin(desired_yaw - state.yaw),
+                          jnp.cos(desired_yaw - state.yaw))
+    steer = jnp.clip(STEER_GAIN * yaw_err, -STEER_CAP, STEER_CAP)
+
+    # desired speed: limit * behaviour factor
+    limit = town.wp_speed_limit[state.town_id, 0]
+    desired = limit * prof["speed_factor"]
+
+    # hazard: nearest actor in a forward cone (behavior_agent.py:258-361)
+    fwd = jnp.stack([jnp.cos(state.yaw), jnp.sin(state.yaw)])
+    all_xy = jnp.concatenate([state.npc.veh_xy, state.npc.ped_xy], axis=0)
+    all_on = jnp.concatenate([state.npc.veh_active, state.npc.ped_active], axis=0)
+    rel = all_xy - pos[None]
+    d = jnp.linalg.norm(rel, axis=-1)
+    cos_a = (rel @ fwd) / jnp.maximum(d, 1e-3)
+    in_cone = (cos_a > 0.8) & (d > 0.1) & (all_on > 0)
+    d_hazard = jnp.min(jnp.where(in_cone, d, 1e6))
+    hd = prof["hazard_distance"]
+    slow = jnp.clip((d_hazard - 5.0) / hd, 0.0, 1.0)
+    desired = desired * slow
+
+    # red light stop (agent.py:74-110), unless ignored (training collection
+    # default — reference core/learning.py:196-212 ignore_traffic_light=True)
+    if not ignore_traffic_light:
+        j_xy = town.junction_xy[state.town_id]
+        n_j = town.num_junctions[state.town_id]
+        d_j = jnp.linalg.norm(j_xy - pos[None], axis=-1)
+        d_j = jnp.where(jnp.arange(j_xy.shape[0]) < n_j, d_j, 1e9)
+        jid = jnp.argmin(d_j)
+        light = traffic.light_phase_state(
+            state.sim_time, town.junction_phase[state.town_id, jid], state.yaw)
+        at_red = (d_j[jid] < 14.0) & (d_j[jid] > 4.0) & (light != traffic.LIGHT_GREEN)
+        desired = jnp.where(at_red, 0.0, desired)
+
+    # slow down in junctions (intersection management, behavior_agent.py:363-432)
+    near_j = jnp.linalg.norm(
+        town.junction_xy[state.town_id] - pos[None], axis=-1).min() < 12.0
+    desired = jnp.where(near_j, jnp.minimum(desired, limit * 0.5), desired)
+    # slow for sharp turns
+    desired = desired * (1.0 - 0.7 * jnp.clip(jnp.abs(yaw_err) / 0.8, 0.0, 1.0))
+
+    a0 = jnp.clip(2.0 * desired / 100.0 - 1.0, -1.0, 1.0)
+    return jnp.stack([a0, steer])

