@@ -135,7 +135,8 @@ def trace_route(town: TownData, origin_wp: int, dest_wp: int) -> Optional[dict]:
 
 def build_route_bank(town: TownData, num_routes: int, max_len: int = 512,
                      origin_spawns: Optional[Sequence[int]] = None,
-                     min_waypoints: int = 40, seed: int = 42) -> RouteBank:
+                     min_waypoints: int = 40, seed: int = 42,
+                     use_native: bool = True) -> RouteBank:
     """Pre-plan `num_routes` routes between spawn points.
 
     `origin_spawns` restricts origins to a fixed set (stage-s1's 10 seeded
@@ -144,6 +145,18 @@ def build_route_bank(town: TownData, num_routes: int, max_len: int = 512,
     the reference's random destination at each reset
     (`rl/environments/carla/environment.py:487-529`).
     """
+    if use_native:
+        try:
+            from carla_driving_rl_agent_tpu import native
+            bank = native.build_route_bank_native(
+                town, num_routes=num_routes, max_len=max_len,
+                origin_spawns=list(origin_spawns) if origin_spawns else None,
+                min_waypoints=min_waypoints, seed=seed)
+            if bank is not None:
+                return bank
+        except Exception:
+            pass  # fall back to the python planner
+
     rng = np.random.default_rng(seed)
     n_spawn = len(town.spawn_wp)
     if origin_spawns is None:
