@@ -28,7 +28,7 @@ def main():
         world=WorldParams(town_names=("Town03",), num_routes=64, max_route_len=512,
                           max_timesteps=512, num_vehicles=0, num_pedestrians=0,
                           v_max=1, p_max=1),
-        image_height=90, image_width=120, render_mode="rasterizer",
+        image_height=90, image_width=120, render_mode="pallas",
         time_horizon=4, past_obs_freq=4))
 
     consts = env.consts
@@ -52,19 +52,24 @@ def main():
                 return (states, key), reward[0]
             (states, key), rewards = jax.lax.scan(body, (states, key),
                                                   None, length=STEPS_PER_CALL)
-            return states, key, rewards
+            # scalar probe depending on BOTH rewards and rendered stacks, so
+            # fetching it forces the full computation (remote-attached
+            # backends have unreliable block_until_ready semantics)
+            probe = jnp.sum(rewards) + jnp.mean(
+                states.image_stack[0, -1].astype(jnp.float32))
+            return states, key, probe
 
     step_fn = jax.jit(rollout_chunk, donate_argnums=(0,))
 
     k = jax.random.PRNGKey(1)
     for _ in range(WARMUP_CALLS):
-        states, k, r = step_fn(states, k, consts)
-    jax.block_until_ready(r)
+        states, k, probe = step_fn(states, k, consts)
+    float(probe)
 
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
-        states, k, r = step_fn(states, k, consts)
-    jax.block_until_ready(r)
+        states, k, probe = step_fn(states, k, consts)
+        float(probe)   # scalar fetch: forces the chunk to fully execute
     dt = time.perf_counter() - t0
 
     total_steps = NUM_WORLDS * STEPS_PER_CALL * TIMED_CALLS

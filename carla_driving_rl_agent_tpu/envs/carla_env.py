@@ -70,6 +70,7 @@ class CARLAEnvConfig:
     image_width: int = 120          # per camera; full image is 3x this
     stack_depth: bool = False       # +1 depth channel (core/carla_env.py:49-54,271-288)
     render_mode: str = "rasterizer"  # 'rasterizer' | 'zeros' (vector-only configs)
+    render_quality: str = "fast"    # 'full' | 'fast' (half-res + reduced K)
     time_horizon: int = 4
     past_obs_freq: int = 4
     num_actions: int = 2
@@ -128,6 +129,8 @@ class CARLAEnv:
         cfg = self.config
         if cfg.render_mode == "zeros":
             return jnp.zeros(cfg.image_shape, jnp.uint8)
+        if cfg.render_mode == "pallas":
+            return self._render_frame_pallas(world)
         inputs = rasterizer.RenderInputs(
             edges_xy=self.town.edges_xy[world.town_id],
             num_edges=self.town.num_edges[world.town_id],
@@ -142,11 +145,42 @@ class CARLAEnv:
             weather=self.weather_params[world.weather_id],
         )
         img = rasterizer.render_cameras(inputs, height=cfg.image_height,
-                                        width=cfg.image_width)
+                                        width=cfg.image_width,
+                                        quality=cfg.render_quality)
         if cfg.stack_depth:
             # the reference appends a log-depth channel rendered from the
             # front depth camera (core/carla_env.py:271-288); a flat proxy
             # channel is used here (full per-pixel depth available on demand)
+            depth = jnp.zeros(cfg.image_shape[:2] + (1,), jnp.uint8)
+            img = jnp.concatenate([img, depth], axis=-1)
+        return img
+
+    def _render_inputs(self, world: WorldState):
+        return rasterizer.RenderInputs(
+            edges_xy=self.town.edges_xy[world.town_id],
+            num_edges=self.town.num_edges[world.town_id],
+            buildings=self.town.buildings[world.town_id],
+            junctions=self.town.junction_xy[world.town_id],
+            num_junctions=self.town.num_junctions[world.town_id],
+            ego_xy=jnp.stack([world.x, world.y]),
+            ego_yaw=world.yaw,
+            veh_xy=world.npc.veh_xy, veh_yaw=world.npc.veh_yaw,
+            veh_active=world.npc.veh_active,
+            ped_xy=world.npc.ped_xy, ped_active=world.npc.ped_active,
+            weather=self.weather_params[world.weather_id],
+        )
+
+    def _render_frame_pallas(self, world: WorldState) -> jax.Array:
+        """Fused Pallas render path (ops/rasterizer_pallas.py); interpret mode
+        off-TPU so tests run on CPU."""
+        from carla_driving_rl_agent_tpu.ops import rasterizer_pallas as RP
+        cfg = self.config
+        interpret = jax.default_backend() != "tpu"
+        img = RP.render_cameras_pallas(self._render_inputs(world),
+                                       height=cfg.image_height,
+                                       width=cfg.image_width,
+                                       interpret=interpret)
+        if cfg.stack_depth:
             depth = jnp.zeros(cfg.image_shape[:2] + (1,), jnp.uint8)
             img = jnp.concatenate([img, depth], axis=-1)
         return img

@@ -46,6 +46,11 @@ K_BUILDINGS = 16
 K_ACTORS = 12
 MAX_DEPTH = 400.0
 
+# quality presets: (k_edges, k_buildings, k_actors, supersample_divisor)
+# 'fast' renders at half resolution with reduced K-budgets and upsamples 2x —
+# ~8x cheaper; the 90x120 CNN input is visually near-identical.
+QUALITY = dict(full=(24, 16, 12, 1), fast=(12, 8, 6, 2))
+
 COLOR_TERRAIN = jnp.asarray([96.0, 128.0, 72.0])
 COLOR_ROAD = jnp.asarray([88.0, 88.0, 94.0])
 COLOR_MARKING = jnp.asarray([228.0, 228.0, 218.0])
@@ -144,7 +149,9 @@ def _shade_weather(rgb, depth, sky_rgb, weather, is_road):
 
 
 def render_view(inputs: RenderInputs, cam_yaw_offset, height: int = 90,
-                width: int = 120) -> jax.Array:
+                width: int = 120, k_edges: int = K_EDGES,
+                k_buildings: int = K_BUILDINGS,
+                k_actors: int = K_ACTORS) -> jax.Array:
     """Render one camera view -> (height, width, 3) float32 in [0, 255]."""
     dx_c, dy_c, dz = _pixel_rays(height, width)
     yaw = inputs.ego_yaw + cam_yaw_offset
@@ -165,7 +172,7 @@ def render_view(inputs: RenderInputs, cam_yaw_offset, height: int = 90,
     e_idx = _nearest_k(
         0.5 * (inputs.edges_xy[:, :2] + inputs.edges_xy[:, 2:]),
         inputs.ego_xy,
-        jnp.arange(inputs.edges_xy.shape[0]) < inputs.num_edges, K_EDGES)
+        jnp.arange(inputs.edges_xy.shape[0]) < inputs.num_edges, k_edges)
     segs = inputs.edges_xy[e_idx]
     d_road, t_at = _min_seg_distance(gx, gy, segs)
 
@@ -199,7 +206,7 @@ def render_view(inputs: RenderInputs, cam_yaw_offset, height: int = 90,
 
     # ---- buildings: exact ray/box intersection (2D slabs + height) ----
     b_idx = _nearest_k(inputs.buildings[:, :2], inputs.ego_xy,
-                       inputs.buildings[:, 4] > 0.5, K_BUILDINGS)
+                       inputs.buildings[:, 4] > 0.5, k_buildings)
     bb = inputs.buildings[b_idx]                     # (K, 5)
     inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-6, 1e-6, dx)
     inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-6, 1e-6, dy)
@@ -229,20 +236,22 @@ def render_view(inputs: RenderInputs, cam_yaw_offset, height: int = 90,
     road_px = (t_g < 1e6) & is_road & ~use_build
 
     # ---- actor billboards ----
-    rgb, depth = _composite_actors(rgb, depth, inputs, yaw, ex, ey, height, width)
+    rgb, depth = _composite_actors(rgb, depth, inputs, yaw, ex, ey, height, width,
+                                   k_actors=k_actors)
 
     rgb = _shade_weather(rgb, depth, sky_rgb, inputs.weather, road_px)
     return jnp.clip(rgb, 0.0, 255.0)
 
 
-def _composite_actors(rgb, depth, inputs: RenderInputs, yaw, ex, ey, height, width):
+def _composite_actors(rgb, depth, inputs: RenderInputs, yaw, ex, ey, height, width,
+                      k_actors: int = K_ACTORS):
     fx = (width / 2.0) / jnp.tan(jnp.deg2rad(FOV_DEG) / 2.0)
     cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
 
     v_idx = _nearest_k(inputs.veh_xy, inputs.ego_xy, inputs.veh_active > 0,
-                       min(K_ACTORS, inputs.veh_xy.shape[0]))
+                       min(k_actors, inputs.veh_xy.shape[0]))
     p_idx = _nearest_k(inputs.ped_xy, inputs.ego_xy, inputs.ped_active > 0,
-                       min(K_ACTORS, inputs.ped_xy.shape[0]))
+                       min(k_actors, inputs.ped_xy.shape[0]))
     v_ok = inputs.veh_active[v_idx] > 0
     p_ok = inputs.ped_active[p_idx] > 0
 
@@ -282,10 +291,20 @@ def _composite_actors(rgb, depth, inputs: RenderInputs, yaw, ex, ey, height, wid
     return rgb, depth
 
 
-def render_cameras(inputs: RenderInputs, height: int = 90, width: int = 120) -> jax.Array:
+def render_cameras(inputs: RenderInputs, height: int = 90, width: int = 120,
+                   quality: str = "full") -> jax.Array:
     """Render the three-camera concat image -> (H, 3W, 3) uint8
-    (left | front | right, reference `environment.py:1259`)."""
-    views = [render_view(inputs, jnp.asarray(y), height=height, width=width)
+    (left | front | right, reference `environment.py:1259`).
+
+    quality='fast' renders each view at half resolution with smaller
+    nearest-K budgets and upsamples (nearest) — ~8x fewer FLOPs."""
+    ke, kb, ka, div = QUALITY[quality]
+    h, w = height // div, width // div
+    views = [render_view(inputs, jnp.asarray(y), height=h, width=w,
+                         k_edges=ke, k_buildings=kb, k_actors=ka)
              for y in CAMERA_YAWS]
     img = jnp.concatenate(views, axis=1)
+    if div > 1:
+        img = jax.image.resize(img, (height, width * 3, img.shape[-1]),
+                               method="nearest")
     return img.astype(jnp.uint8)

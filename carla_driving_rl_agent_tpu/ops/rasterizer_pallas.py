@@ -1,0 +1,349 @@
+"""Pallas TPU kernel for the three-camera renderer.
+
+The XLA version (ops/rasterizer.py) is the semantics reference; this kernel
+is the speed-of-light path.  Key idea: ALL pixels of all three views are
+flattened into one (64, 128) = 8192-slot register tile (3 views x 45 x 60 =
+8100 pixels at half resolution) — a perfect VPU tile, vs the (45, 60) arrays
+XLA tiles at <50% lane utilization.  Per-pixel camera rays (with the per-view
+yaw offsets pre-applied) live in a constant LUT; per-world geometry (nearest
+road segments / buildings / junctions / actors, ego pose, weather) is packed
+into one small SMEM block.  All K-loops are unrolled into straight-line VPU
+code over the tile; the only HBM traffic is the LUT read and the final RGB
+write.
+
+Used when CARLAEnvConfig.render_mode == 'pallas'; numerically it matches the
+'fast'-quality XLA renderer (same geometry terms, same shading).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from carla_driving_rl_agent_tpu.ops import rasterizer as R
+
+# fast-quality geometry budgets
+K_EDGES = 12
+K_BUILDINGS = 8
+K_ACTORS = 8          # vehicles + pedestrians combined
+VIEW_H, VIEW_W = 45, 60
+N_PIX = 3 * VIEW_H * VIEW_W            # 8100
+TILE = (64, 128)                        # 8192 slots
+CAMERA_HEIGHT = R.CAMERA_HEIGHT
+FOV = R.FOV_DEG
+FX = (VIEW_W / 2.0) / np.tan(np.deg2rad(FOV) / 2.0)
+
+# geom packing offsets (per world, float32)
+_O_SEGS = 0
+_O_BLD = _O_SEGS + K_EDGES * 4          # 48
+_O_JUNC = _O_BLD + K_BUILDINGS * 5      # 48 + 40 = 88
+_O_ACT = _O_JUNC + 4 * 2                # 96
+_O_EGO = _O_ACT + K_ACTORS * 8          # 96 + 64 = 160
+_O_WEATHER = _O_EGO + 4                 # ex, ey, cos_yaw, sin_yaw
+GEOM_SIZE = _O_WEATHER + 5              # 169
+GEOM_PAD = 176                          # pad to a multiple of 8
+
+
+def _build_lut() -> dict:
+    """Constant per-pixel tables: view-offset-rotated camera rays + pixel
+    (u, v) coordinates + view id, flattened to the (64, 128) tile."""
+    u = np.arange(VIEW_W, dtype=np.float32) - (VIEW_W - 1) / 2.0
+    v = np.arange(VIEW_H, dtype=np.float32) - (VIEW_H - 1) / 2.0
+    dy = -u / FX                     # left positive
+    dz = -v / FX                     # up positive
+    dy = np.broadcast_to(dy[None, :], (VIEW_H, VIEW_W))
+    dz = np.broadcast_to(dz[:, None], (VIEW_H, VIEW_W))
+    dx = np.ones((VIEW_H, VIEW_W), np.float32)
+    norm = np.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx / norm, dy / norm, dz / norm
+
+    luts = dict(dx=[], dy=[], dz=[], u=[], v=[], vid=[])
+    for vid, off in enumerate(np.asarray(R.CAMERA_YAWS, np.float32)):
+        c, s = np.cos(off), np.sin(off)
+        luts["dx"].append(dx * c - dy * s)
+        luts["dy"].append(dx * s + dy * c)
+        luts["dz"].append(dz + 0.0)
+        luts["u"].append(np.broadcast_to(
+            np.arange(VIEW_W, dtype=np.float32)[None, :], (VIEW_H, VIEW_W)))
+        luts["v"].append(np.broadcast_to(
+            np.arange(VIEW_H, dtype=np.float32)[:, None], (VIEW_H, VIEW_W)))
+        luts["vid"].append(np.full((VIEW_H, VIEW_W), vid, np.float32))
+
+    out = {}
+    for k, planes in luts.items():
+        flat = np.concatenate([p.ravel() for p in planes])
+        flat = np.pad(flat, (0, TILE[0] * TILE[1] - flat.size),
+                      constant_values=(-1.0 if k == "vid" else 0.0))
+        out[k] = flat.reshape(TILE)  # numpy: safe to cache across traces
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _lut_cached():
+    return _build_lut()
+
+
+def _render_kernel(geom_ref, dx_ref, dy_ref, dz_ref, u_ref, v_ref, vid_ref,
+                   out_ref):
+    g = lambda i: geom_ref[0, i]
+
+    ex, ey = g(_O_EGO), g(_O_EGO + 1)
+    cos_y, sin_y = g(_O_EGO + 2), g(_O_EGO + 3)
+    w_sun, w_cld = g(_O_WEATHER), g(_O_WEATHER + 1)
+    w_rain, w_wet, w_fog = g(_O_WEATHER + 2), g(_O_WEATHER + 3), g(_O_WEATHER + 4)
+
+    # rotate the LUT rays by the ego yaw
+    dxc, dyc, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    dx = dxc * cos_y - dyc * sin_y
+    dy = dxc * sin_y + dyc * cos_y
+
+    # ---- ground intersection ----
+    below = dz < -1e-4
+    t_g = jnp.where(below, -CAMERA_HEIGHT / jnp.where(below, dz, -1.0), 1e6)
+    t_g = jnp.minimum(t_g, R.MAX_DEPTH)
+    gx = ex + t_g * dx
+    gy = ey + t_g * dy
+
+    # ---- min distance to K road segments (unrolled) ----
+    d2 = jnp.full(TILE, 1e12)
+    t_at = jnp.zeros(TILE)
+    for k in range(K_EDGES):
+        x0 = g(_O_SEGS + 4 * k)
+        y0 = g(_O_SEGS + 4 * k + 1)
+        x1 = g(_O_SEGS + 4 * k + 2)
+        y1 = g(_O_SEGS + 4 * k + 3)
+        sx, sy = x1 - x0, y1 - y0
+        L2 = jnp.maximum(sx * sx + sy * sy, 1e-9)
+        rx, ry = gx - x0, gy - y0
+        t = jnp.clip((rx * sx + ry * sy) / L2, 0.0, 1.0)
+        ddx, ddy = rx - t * sx, ry - t * sy
+        d = ddx * ddx + ddy * ddy
+        closer = d < d2
+        t_at = jnp.where(closer, t * jnp.sqrt(L2), t_at)
+        d2 = jnp.where(closer, d, d2)
+    d_road = jnp.sqrt(d2)
+
+    dashed = jnp.floor(t_at / 2.0) % 2 == 0
+    marking = ((d_road < 0.15) & dashed) | (jnp.abs(d_road - (R.ROAD_HALF - 0.2)) < 0.12)
+    on_road = d_road < R.ROAD_HALF
+    sidewalk = (d_road >= R.ROAD_HALF) & (d_road < R.SIDE_OUT)
+
+    # ---- crossings near junctions ----
+    dj2 = jnp.full(TILE, 1e12)
+    for k in range(4):
+        jx = g(_O_JUNC + 2 * k)
+        jy = g(_O_JUNC + 2 * k + 1)
+        dj2 = jnp.minimum(dj2, (gx - jx) ** 2 + (gy - jy) ** 2)
+    d_j = jnp.sqrt(dj2)
+    band = (d_j > R.JUNCTION_RADIUS * 0.85) & (d_j < R.JUNCTION_RADIUS * 0.85 + 2.0)
+    stripes = jnp.floor((gx + gy) / 0.6) % 2 == 0
+    crossing = band & stripes & on_road
+
+    def pick(c, m, r_, g_, b_):
+        return (jnp.where(m, c[0], r_), jnp.where(m, c[1], g_),
+                jnp.where(m, c[2], b_))
+
+    r_, g_, b_ = (jnp.full(TILE, 96.0), jnp.full(TILE, 128.0), jnp.full(TILE, 72.0))
+    r_, g_, b_ = pick((158.0, 152.0, 148.0), sidewalk, r_, g_, b_)
+    r_, g_, b_ = pick((88.0, 88.0, 94.0), on_road, r_, g_, b_)
+    r_, g_, b_ = pick((228.0, 228.0, 218.0), marking, r_, g_, b_)
+    r_, g_, b_ = pick((200.0, 200.0, 200.0), crossing, r_, g_, b_)
+
+    # ---- buildings: exact ray/box with height ----
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-6, 1e-6, dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-6, 1e-6, dy)
+    t_b = jnp.full(TILE, 1e6)
+    for k in range(K_BUILDINGS):
+        cx = g(_O_BLD + 5 * k)
+        cy = g(_O_BLD + 5 * k + 1)
+        hw = g(_O_BLD + 5 * k + 2)
+        hh = g(_O_BLD + 5 * k + 3)
+        bh = g(_O_BLD + 5 * k + 4)
+        tx0 = (cx - hw - ex) * inv_dx
+        tx1 = (cx + hw - ex) * inv_dx
+        ty0 = (cy - hh - ey) * inv_dy
+        ty1 = (cy + hh - ey) * inv_dy
+        t_near = jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1))
+        t_far = jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1))
+        z = CAMERA_HEIGHT + t_near * dz
+        hit = (t_near > 0.5) & (t_near <= t_far) & (z > 0.0) & (z < bh)
+        t_b = jnp.minimum(t_b, jnp.where(hit, t_near, 1e6))
+
+    # compose ground / building / sky
+    sky_r = (135.0 * (1 - w_sun) + 240.0 * w_sun) * (1 - w_cld) + 150.0 * w_cld
+    sky_g = (190.0 * (1 - w_sun) + 160.0 * w_sun) * (1 - w_cld) + 152.0 * w_cld
+    sky_b = (235.0 * (1 - w_sun) + 110.0 * w_sun) * (1 - w_cld) + 158.0 * w_cld
+    sky_r, sky_g, sky_b = (sky_r * (1 - 0.25 * w_rain), sky_g * (1 - 0.25 * w_rain),
+                           sky_b * (1 - 0.25 * w_rain))
+
+    tg_ok = below & (t_g < R.MAX_DEPTH)
+    t_gm = jnp.where(tg_ok, t_g, 1e6)
+    use_b = t_b < t_gm
+    depth = jnp.minimum(t_gm, t_b)
+    shade = 1.0 - 0.5 * jnp.clip(t_b / 150.0, 0.0, 1.0)
+    r_ = jnp.where(use_b, 122.0 * shade, jnp.where(tg_ok, r_, sky_r))
+    g_ = jnp.where(use_b, 102.0 * shade, jnp.where(tg_ok, g_, sky_g))
+    b_ = jnp.where(use_b, 96.0 * shade, jnp.where(tg_ok, b_, sky_b))
+    road_px = tg_ok & (on_road | marking | crossing) & ~use_b
+
+    # ---- actors (billboards, view-dependent projection) ----
+    uu, vv, vid = u_ref[:], v_ref[:], vid_ref[:]
+    for k in range(K_ACTORS):
+        ax = g(_O_ACT + 8 * k)
+        ay = g(_O_ACT + 8 * k + 1)
+        ok = g(_O_ACT + 8 * k + 2)
+        hwid = g(_O_ACT + 8 * k + 3)
+        htop = g(_O_ACT + 8 * k + 4)
+        car, cag, cab = (g(_O_ACT + 8 * k + 5), g(_O_ACT + 8 * k + 6),
+                         g(_O_ACT + 8 * k + 7))
+        rx, ry = ax - ex, ay - ey
+        # ego-frame coords
+        fx0 = rx * cos_y + ry * sin_y
+        fy0 = -rx * sin_y + ry * cos_y
+        # rotate into each view frame; select per pixel by view id
+        cxs, cys = [], []
+        for off in np.asarray(R.CAMERA_YAWS, np.float32):
+            co, so = np.cos(off), np.sin(off)
+            cxs.append(fx0 * co + fy0 * so)
+            cys.append(-fx0 * so + fy0 * co)
+        cx = jnp.where(vid == 0.0, cxs[0], jnp.where(vid == 1.0, cxs[1], cxs[2]))
+        cy = jnp.where(vid == 0.0, cys[0], jnp.where(vid == 1.0, cys[1], cys[2]))
+        denom = jnp.maximum(cx, 0.1)
+        u_c = (-cy / denom) * FX + (VIEW_W - 1) / 2.0
+        half_u = (hwid / denom) * FX
+        v_bot = (CAMERA_HEIGHT / denom) * FX + (VIEW_H - 1) / 2.0
+        v_top = ((CAMERA_HEIGHT - htop) / denom) * FX + (VIEW_H - 1) / 2.0
+        cover = ((jnp.abs(uu - u_c) < half_u) & (vv >= v_top) & (vv <= v_bot)
+                 & (cx > 0.8) & (ok > 0.5) & (vid >= 0.0))
+        visible = cover & (cx < depth)
+        r_ = jnp.where(visible, car, r_)
+        g_ = jnp.where(visible, cag, g_)
+        b_ = jnp.where(visible, cab, b_)
+        depth = jnp.where(visible, cx, depth)
+
+    # ---- weather shading ----
+    light = 1.0 - 0.35 * w_cld - 0.15 * w_rain
+    r_ = r_ * light * (1.0 + 0.25 * w_sun)
+    g_ = g_ * light
+    b_ = b_ * light * (1.0 - 0.2 * w_sun)
+    wet_mix = 0.12 * w_wet
+    r_ = jnp.where(road_px, r_ * (1.0 - 0.35 * w_wet) + sky_r * wet_mix, r_)
+    g_ = jnp.where(road_px, g_ * (1.0 - 0.35 * w_wet) + sky_g * wet_mix, g_)
+    b_ = jnp.where(road_px, b_ * (1.0 - 0.35 * w_wet) + sky_b * wet_mix, b_)
+    fog_f = 1.0 - jnp.exp(-depth * (0.002 + 0.05 * w_fog))
+    r_ = r_ * (1 - fog_f) + sky_r * fog_f
+    g_ = g_ * (1 - fog_f) + sky_g * fog_f
+    b_ = b_ * (1 - fog_f) + sky_b * fog_f
+
+    out_ref[0, 0] = jnp.clip(r_, 0.0, 255.0)
+    out_ref[0, 1] = jnp.clip(g_, 0.0, 255.0)
+    out_ref[0, 2] = jnp.clip(b_, 0.0, 255.0)
+
+
+def pack_geometry(inputs: R.RenderInputs) -> jax.Array:
+    """Per-world geometry pack (GEOM_PAD,) from RenderInputs (single world)."""
+    segs_idx = R._nearest_k(
+        0.5 * (inputs.edges_xy[:, :2] + inputs.edges_xy[:, 2:]), inputs.ego_xy,
+        jnp.arange(inputs.edges_xy.shape[0]) < inputs.num_edges, K_EDGES)
+    segs = inputs.edges_xy[segs_idx]
+    n = segs.shape[0]
+    if n < K_EDGES:  # pad with far-away segments
+        segs = jnp.concatenate(
+            [segs, jnp.full((K_EDGES - n, 4), 1e6)], axis=0)
+
+    b_idx = R._nearest_k(inputs.buildings[:, :2], inputs.ego_xy,
+                         inputs.buildings[:, 4] > 0.5, K_BUILDINGS)
+    blds = inputs.buildings[b_idx]
+    if blds.shape[0] < K_BUILDINGS:
+        blds = jnp.concatenate(
+            [blds, jnp.zeros((K_BUILDINGS - blds.shape[0], 5))], axis=0)
+
+    j_idx = R._nearest_k(inputs.junctions, inputs.ego_xy,
+                         jnp.arange(inputs.junctions.shape[0]) < inputs.num_junctions, 4)
+    juncs = inputs.junctions[j_idx]
+
+    kv = K_ACTORS // 2
+    v_idx = R._nearest_k(inputs.veh_xy, inputs.ego_xy, inputs.veh_active > 0,
+                         min(kv, inputs.veh_xy.shape[0]))
+    p_idx = R._nearest_k(inputs.ped_xy, inputs.ego_xy, inputs.ped_active > 0,
+                         min(kv, inputs.ped_xy.shape[0]))
+    veh_colors = jnp.asarray([[180, 30, 30], [30, 60, 180], [220, 220, 220],
+                              [40, 40, 40], [200, 170, 40], [90, 140, 190]],
+                             jnp.float32)
+
+    def actor_rows(xy, idx, ok, hw, ht, colors):
+        k = idx.shape[0]
+        return jnp.concatenate([
+            xy[idx], ok[idx][:, None],
+            jnp.full((k, 1), hw), jnp.full((k, 1), ht), colors], axis=-1)
+
+    v_rows = actor_rows(inputs.veh_xy, v_idx, inputs.veh_active, 1.0, 1.6,
+                        veh_colors[v_idx % 6])
+    p_rows = actor_rows(inputs.ped_xy, p_idx, inputs.ped_active, 0.3, 1.8,
+                        jnp.tile(jnp.asarray([[190., 120., 90.]]), (p_idx.shape[0], 1)))
+    actors = jnp.concatenate([v_rows, p_rows], axis=0)
+    if actors.shape[0] < K_ACTORS:
+        actors = jnp.concatenate(
+            [actors, jnp.zeros((K_ACTORS - actors.shape[0], 8))], axis=0)
+
+    geom = jnp.concatenate([
+        segs.reshape(-1), blds.reshape(-1), juncs.reshape(-1),
+        actors.reshape(-1),
+        jnp.stack([inputs.ego_xy[0], inputs.ego_xy[1],
+                   jnp.cos(inputs.ego_yaw), jnp.sin(inputs.ego_yaw)]),
+        inputs.weather,
+    ])
+    return jnp.pad(geom, (0, GEOM_PAD - geom.shape[0])).astype(jnp.float32)
+
+
+def render_tile(geom: jax.Array, interpret: bool = False) -> jax.Array:
+    """Run the kernel for one world -> (3, 64, 128) float32 RGB planes."""
+    lut = {k: jnp.asarray(v) for k, v in _lut_cached().items()}
+    return pl.pallas_call(
+        _render_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 3) + TILE, jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, GEOM_PAD), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3) + TILE, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(geom[None], lut["dx"], lut["dy"], lut["dz"], lut["u"], lut["v"],
+      lut["vid"])[0]
+
+
+def tile_to_image(planes: jax.Array, out_h: int = 90, out_w: int = 120) -> jax.Array:
+    """(3, 64, 128) planes -> (out_h, 3*out_w, 3) uint8 (2x nearest upsample).
+
+    Uses repeats + one transpose instead of jax.image.resize (a gather) —
+    measured 4x faster at batch."""
+    flat = planes.reshape(3, TILE[0] * TILE[1])[:, :N_PIX]
+    img = flat.reshape(3, 3, VIEW_H, VIEW_W)           # (rgb, view, h, w)
+    img = jnp.transpose(img, (2, 1, 3, 0))             # (h, view, w, rgb)
+    img = img.reshape(VIEW_H, 3 * VIEW_W, 3)
+    ry = out_h // VIEW_H
+    rx = out_w // VIEW_W
+    if ry > 1:
+        img = jnp.repeat(img, ry, axis=0)
+    if rx > 1:
+        img = jnp.repeat(img, rx, axis=1)
+    return img.astype(jnp.uint8)
+
+
+def render_cameras_pallas(inputs: R.RenderInputs, height: int = 90,
+                          width: int = 120, interpret: bool = False) -> jax.Array:
+    """Drop-in replacement for rasterizer.render_cameras (single world)."""
+    geom = pack_geometry(inputs)
+    planes = render_tile(geom, interpret=interpret)
+    return tile_to_image(planes, out_h=height, out_w=width)
