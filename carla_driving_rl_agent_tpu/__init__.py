@@ -24,3 +24,30 @@ Layout (mirrors the reference's layer map, SURVEY.md §1):
 __version__ = "0.1.0"
 
 from carla_driving_rl_agent_tpu.utils import math as math_utils  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level exports (mirrors the reference's `rl`/`core` exports,
+    `rl/__init__.py:1-5`, `core/__init__.py:2-4`) without import-time cost."""
+    lazy = {
+        "CARLAgent": "carla_driving_rl_agent_tpu.agents.carla_agent",
+        "CARLAgentConfig": "carla_driving_rl_agent_tpu.agents.carla_agent",
+        "PPOAgent": "carla_driving_rl_agent_tpu.agents.ppo",
+        "PPOConfig": "carla_driving_rl_agent_tpu.agents.ppo",
+        "RandomAgent": "carla_driving_rl_agent_tpu.agents.base",
+        "Agent": "carla_driving_rl_agent_tpu.agents.base",
+        "CARLAEnv": "carla_driving_rl_agent_tpu.envs.carla_env",
+        "CARLAEnvConfig": "carla_driving_rl_agent_tpu.envs.carla_env",
+        "FakeCARLAEnvironment": "carla_driving_rl_agent_tpu.envs.fake",
+        "CARLACollectWrapper": "carla_driving_rl_agent_tpu.envs.wrappers",
+        "CARLAPlayWrapper": "carla_driving_rl_agent_tpu.envs.wrappers",
+        "CARLABenchmark": "carla_driving_rl_agent_tpu.envs.wrappers",
+        "CARLANetwork": "carla_driving_rl_agent_tpu.models.carla_network",
+        "PPONetwork": "carla_driving_rl_agent_tpu.models.networks",
+        "Stage": "carla_driving_rl_agent_tpu.curriculum.stages",
+        "DynamicParameter": "carla_driving_rl_agent_tpu.utils.schedules",
+    }
+    if name in lazy:
+        import importlib
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

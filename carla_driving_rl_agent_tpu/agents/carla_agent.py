@@ -79,12 +79,14 @@ class CARLAgent:
 
     def __init__(self, env: CARLAEnv, config: CARLAgentConfig = None,
                  name: str = "carla", weights_dir: str = "weights",
-                 mesh=None):
+                 mesh=None, log_mode: str = "summary"):
         self.env = env
         self.config = config or CARLAgentConfig()
         self.name = name
         self.base_path = os.path.join(weights_dir, name)
         self.mesh = mesh  # optional jax.sharding.Mesh: worlds sharded over chips
+        from carla_driving_rl_agent_tpu.utils.summary import Summary
+        self.summary = Summary(mode=log_mode, name=name)
 
         cfg = self.config
         net_spec = dict(cfg.network or {})
@@ -432,6 +434,8 @@ class CARLAgent:
                 p.on_episode()
             host_metrics = {k: float(v) for k, v in metrics.items()}
             history.append(host_metrics)
+            self.summary.log(**host_metrics)
+            self.summary.write_summaries()
             if callback is not None:
                 callback(self.update_step, host_metrics)
         return env_states, history

@@ -70,7 +70,7 @@ def build_env(town: str = DEFAULT_TOWN, image_shape=(90, 120, 3),
               disable_reverse: bool = True,
               time_horizon: int = 4, past_obs_freq: int = 4,
               max_timesteps: int = 512, num_routes: int = 128,
-              render_mode: str = "rasterizer", stack_depth: bool = False,
+              render_mode: str = "pallas", stack_depth: bool = False,
               seed: int = 42, **_ignored) -> CARLAEnv:
     """Build a CARLAEnv from stage-style kwargs."""
     spawn = spawn or {}
@@ -125,11 +125,13 @@ class Stage:
             load_full = args.pop("load_full", True)
             seed = args.pop("seed", 42)
             mesh = args.pop("mesh", None)
+            log_mode = args.pop("log_mode", "summary")
             cfg = CARLAgentConfig(seed=seed, **{
                 k: v for k, v in args.items()
                 if k in CARLAgentConfig.__dataclass_fields__})
             self.agent = CARLAgent(self.env, cfg, name=name,
-                                   weights_dir=weights_dir, mesh=mesh)
+                                   weights_dir=weights_dir, mesh=mesh,
+                                   log_mode=log_mode)
             if load and os.path.exists(os.path.join(self.agent.base_path,
                                                     "params.msgpack")):
                 self.agent.load(full=load_full)

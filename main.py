@@ -1,0 +1,110 @@
+"""Experiment driver: the 5-stage curriculum + the 48-scenario evaluation.
+
+Mirror of the reference `main.py`: stages s1..s5 run sequentially (each
+`run2(epochs)` with per-epoch weight snapshots), weights handed off between
+stages via `load=True, load_full=True`, then the full evaluation sweep over
+8 towns x 3 traffic levels x {train, test} weather modes
+(reference `main.py:49-101`).
+
+Usage:
+  python main.py --stage s1 --epochs 10           # train one stage
+  python main.py --curriculum --epochs 10         # s1 -> s5 sequentially
+  python main.py --evaluate --weights stage-s5    # the 48-scenario sweep
+  python main.py --record --weights stage-s5      # save driving videos
+"""
+
+import argparse
+import shutil
+import os
+
+from carla_driving_rl_agent_tpu.curriculum import stages as learning
+
+# reference training configuration (main.py:49-91): 5 episodes x 512 steps
+# per epoch, batch 64, gamma/lambda in the agent defaults, 100 epochs/stage
+EPISODES = 5
+TIMESTEPS = 512
+BATCH = 64
+NUM_ENVS = 32          # TPU-new: lock-step parallel worlds per update
+
+STAGE_ORDER = ["s1", "s2", "s3", "s4", "s5"]
+
+
+def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS):
+    common = dict(episodes=EPISODES, timesteps=TIMESTEPS, batch_size=BATCH,
+                  num_envs=num_envs, save_every="end")
+    if which == "s1":
+        return learning.stage_s1(**common)
+    if which == "s2":
+        return learning.stage_s2(**common)
+    if which == "s3":
+        return learning.stage_s3(**common)
+    if which == "s4":
+        return learning.stage_s4(**common)
+    if which == "s5":
+        return learning.stage_s5(town="Town03", traffic="dense", **common)
+    raise ValueError(which)
+
+
+def hand_off(src_stage: str, dst_stage: str, weights_dir: str = "weights"):
+    """Copy a stage's weights to the next stage's directory (the reference
+    does this manually — README.md:86)."""
+    src = os.path.join(weights_dir, f"stage-{src_stage}")
+    dst = os.path.join(weights_dir, f"stage-{dst_stage}")
+    if os.path.exists(src):
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+
+
+def run_curriculum(epochs: int, num_envs: int = NUM_ENVS):
+    for i, which in enumerate(STAGE_ORDER):
+        if i > 0:
+            hand_off(STAGE_ORDER[i - 1], which)
+        print(f"=== stage-{which} ({epochs} epochs) ===")
+        stage = make_stage(which, epochs, num_envs)
+        stage.run2(epochs=epochs)
+
+
+def run_evaluation(weights: str = "stage-s5", steps: int = 512, trials: int = 50):
+    """The full sweep (reference main.py:94-101): 8 towns x 3 traffic x
+    2 weather modes, seed 42."""
+    towns = ["Town01", "Town02", "Town03", "Town04", "Town05", "Town06",
+             "Town07", "Town10"]
+    for mode in ["train", "test"]:
+        for town in towns:
+            for traffic in ["no", "regular", "dense"]:
+                print(f"=== evaluate {mode}/{town}/{traffic} ===")
+                learning.evaluate(mode=mode, town=town, seeds=[42],
+                                  traffic=traffic, steps=steps, trials=trials,
+                                  weights=weights)
+
+
+def run_record(weights: str = "stage-s5", timesteps: int = 512, trials: int = 3):
+    stage = learning.stage_s5(episodes=1, timesteps=timesteps, batch_size=1,
+                              town="Town03", stage_name=weights, traffic="regular",
+                              aug_intensity=0.0, num_envs=4)
+    stage.record(name="demo", timesteps=timesteps, trials=trials)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--stage", choices=STAGE_ORDER)
+    parser.add_argument("--curriculum", action="store_true")
+    parser.add_argument("--evaluate", action="store_true")
+    parser.add_argument("--record", action="store_true")
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--num-envs", type=int, default=NUM_ENVS)
+    parser.add_argument("--weights", default="stage-s5")
+    parser.add_argument("--trials", type=int, default=50)
+    args = parser.parse_args()
+
+    if args.curriculum:
+        run_curriculum(args.epochs, args.num_envs)
+    elif args.stage:
+        make_stage(args.stage, args.epochs, args.num_envs).run2(epochs=args.epochs)
+    elif args.evaluate:
+        run_evaluation(weights=args.weights, trials=args.trials)
+    elif args.record:
+        run_record(weights=args.weights)
+    else:
+        parser.print_help()

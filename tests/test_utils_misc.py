@@ -1,0 +1,109 @@
+"""Summary logging, incremental statistics, schedules, optimizers, traces,
+and the evaluation aggregator."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from carla_driving_rl_agent_tpu.utils.schedules import (
+    ConstantParameter, DynamicParameter, ExponentialDecay, LinearDecay,
+    PolynomialDecay, StepDecay)
+from carla_driving_rl_agent_tpu.utils.summary import IncrementalStatistics, Summary
+
+
+class TestSchedules:
+    def test_constant(self):
+        p = DynamicParameter.create(0.5)
+        assert isinstance(p, ConstantParameter)
+        assert p() == 0.5
+        p.on_episode()
+        assert p() == 0.5
+
+    def test_exponential_decay(self):
+        p = ExponentialDecay(initial_value=1.0, decay_steps=10, decay_rate=0.5)
+        assert p() == 1.0
+        for _ in range(10):
+            p.on_episode()
+        assert p() == pytest.approx(0.5)
+
+    def test_step_decay_staircase(self):
+        p = StepDecay(initial_value=1.0, decay_steps=10, decay_rate=0.1,
+                      min_value=1e-6)
+        for _ in range(9):
+            p.on_episode()
+        assert p() == pytest.approx(1.0)
+        p.on_episode()
+        assert p() == pytest.approx(0.1)
+
+    def test_polynomial_decay(self):
+        p = PolynomialDecay(initial_value=1.0, end_value=0.0, decay_steps=10)
+        p.step = 5
+        assert p() == pytest.approx(0.5)
+        p.step = 100
+        assert p() == pytest.approx(0.0, abs=1e-9)
+
+    def test_serialize_roundtrip(self):
+        p = LinearDecay(initial_value=1.0, end_value=0.1, decay_steps=100)
+        for _ in range(7):
+            p.on_episode()
+        q = LinearDecay(initial_value=1.0, end_value=0.1, decay_steps=100)
+        q.load(p.serialize())
+        assert q.step == 7 and q() == p()
+
+
+class TestSummary:
+    def test_jsonl_flush(self, tmp_path):
+        s = Summary(mode="summary", name="t", log_dir=str(tmp_path))
+        s.log(loss=1.0, reward=[1.0, 2.0, 3.0])
+        s.log(loss=3.0)
+        s.write_summaries()
+        lines = open(s._path).read().strip().split("\n")
+        rec = json.loads(lines[0])
+        assert rec["loss"] == 2.0
+        assert rec["reward"] == 2.0
+
+    def test_disabled_mode(self):
+        s = Summary(mode=None)
+        s.log(x=1)  # no-op
+        s.write_summaries()
+
+    def test_key_filter(self, tmp_path):
+        s = Summary(mode="summary", name="t", log_dir=str(tmp_path),
+                    summary_keys=["a"])
+        s.log(a=1.0, b=2.0)
+        assert "b" not in s.buffer and "a" in s.buffer
+
+
+class TestIncrementalStatistics:
+    def test_matches_numpy(self, rng):
+        x = rng.normal(loc=3.0, scale=2.0, size=500)
+        st = IncrementalStatistics()
+        for chunk in np.split(x, 10):
+            st.update(chunk)
+        assert st.mean == pytest.approx(x.mean(), rel=1e-6)
+        assert st.std == pytest.approx(x.std(), rel=1e-3)
+        normed = st.normalize(x)
+        assert abs(np.mean(normed)) < 1e-6
+
+
+class TestAggregator:
+    def test_aggregate_scenarios(self, tmp_path):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "aggregate", os.path.join(os.path.dirname(__file__), "..",
+                                      "evaluation", "aggregate.py"))
+        agg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(agg)
+
+        record = {m: [1.0, 2.0] for m in agg.METRICS}
+        record["total_reward"] = [-2000.0, 500.0]
+        for town in ["Town01", "Town02"]:
+            fname = f"stage-s5-train-512-50-{town}-dense-42.json"
+            with open(tmp_path / fname, "w") as f:
+                json.dump(record, f)
+        out = agg.aggregate(str(tmp_path))
+        assert "dense-Town01-train" in out
+        assert out["dense-Town01-train"]["total_reward"]["mean"] == -250.0  # clipped
+        assert "__global__" in out
