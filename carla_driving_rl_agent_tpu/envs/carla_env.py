@@ -71,14 +71,15 @@ class CARLAEnvConfig:
     stack_depth: bool = False       # +1 depth channel (core/carla_env.py:49-54,271-288)
     render_mode: str = "rasterizer"  # 'rasterizer' | 'zeros' (vector-only configs)
     render_quality: str = "fast"    # 'full' | 'fast' (half-res + reduced K)
+    cameras: int = 3                # 3 = ThreeCamera concat; 1 = front only
     time_horizon: int = 4
     past_obs_freq: int = 4
-    num_actions: int = 2
+    num_actions: int = 2            # 2 = CARLAEnv; 3 adds the reverse channel
 
     @property
     def image_shape(self) -> Tuple[int, int, int]:
         c = 3 + (1 if self.stack_depth else 0)
-        return (self.image_height, self.image_width * 3, c)
+        return (self.image_height, self.image_width * self.cameras, c)
 
 
 class CARLAEnv:
@@ -130,6 +131,7 @@ class CARLAEnv:
         if cfg.render_mode == "zeros":
             return jnp.zeros(cfg.image_shape, jnp.uint8)
         if cfg.render_mode == "pallas":
+            assert cfg.cameras == 3, "the Pallas kernel renders the 3-camera rig"
             return self._render_frame_pallas(world)
         inputs = rasterizer.RenderInputs(
             edges_xy=self.town.edges_xy[world.town_id],
@@ -144,9 +146,20 @@ class CARLAEnv:
             ped_xy=world.npc.ped_xy, ped_active=world.npc.ped_active,
             weather=self.weather_params[world.weather_id],
         )
-        img = rasterizer.render_cameras(inputs, height=cfg.image_height,
-                                        width=cfg.image_width,
-                                        quality=cfg.render_quality)
+        if cfg.cameras == 1:
+            # OneCamera variant: front view only (reference environment.py:837)
+            ke, kb, ka, div = rasterizer.QUALITY[cfg.render_quality]
+            img = rasterizer.render_view(
+                inputs, jnp.asarray(0.0), height=cfg.image_height // div,
+                width=cfg.image_width // div, k_edges=ke, k_buildings=kb,
+                k_actors=ka)
+            if div > 1:
+                img = jnp.repeat(jnp.repeat(img, div, axis=0), div, axis=1)
+            img = img.astype(jnp.uint8)
+        else:
+            img = rasterizer.render_cameras(inputs, height=cfg.image_height,
+                                            width=cfg.image_width,
+                                            quality=cfg.render_quality)
         if cfg.stack_depth:
             # the reference appends a log-depth channel rendered from the
             # front depth camera (core/carla_env.py:271-288); a flat proxy
@@ -294,3 +307,50 @@ def convert_action(action01: jax.Array, low: float = -1.0, high: float = 1.0) ->
     """Beta samples in [0,1] -> env action range
     (reference `rl/agents/ppo.py:158-163`)."""
     return action01 * (high - low) + low
+
+
+class CARLAEnvDiscrete:
+    """Discrete-action wrapper (reference ThreeCameraCARLAEnvironmentDiscrete,
+    `environment.py:1267-1301`): Box actions quantized into `bins` per
+    dimension; `to_continuous`/`to_discrete` map between the spaces."""
+
+    def __init__(self, env: CARLAEnv, bins: int = 4):
+        assert bins >= 2 and bins % 2 == 0, "bins must be even and >= 2"
+        self.env = env
+        self.bins = bins
+        box = env.action_space
+        self._low = jnp.asarray(box.low)
+        self._delta = jnp.asarray((box.high - box.low) / bins)
+
+    @property
+    def action_space(self) -> spaces.MultiDiscrete:
+        return spaces.MultiDiscrete(nvec=[self.bins] * self.env.config.num_actions)
+
+    @property
+    def observation_space(self):
+        return self.env.observation_space
+
+    @property
+    def time_horizon(self):
+        return self.env.time_horizon
+
+    def to_continuous(self, discrete_actions: jax.Array) -> jax.Array:
+        return self._delta * discrete_actions.astype(jnp.float32) + self._low
+
+    def to_discrete(self, continuous_actions: jax.Array) -> jax.Array:
+        return ((continuous_actions - self._low) / self._delta).astype(jnp.int32)
+
+    def reset(self, key, **kw):
+        return self.env.reset(key, **kw)
+
+    def observe(self, state):
+        return self.env.observe(state)
+
+    def step(self, state, action, frame_id=-1):
+        return self.env.step(state, self.to_continuous(action), frame_id)
+
+    def reset_batch(self, key, num_envs):
+        return self.env.reset_batch(key, num_envs)
+
+    def step_batch(self, states, actions, frame_ids=-1):
+        return self.env.step_batch(states, self.to_continuous(actions), frame_ids)

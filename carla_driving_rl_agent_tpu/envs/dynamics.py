@@ -57,6 +57,12 @@ def actions_to_control(actions: jax.Array, current_speed_ms: jax.Array,
     throttle = jnp.where(a0 > 0, a0, 0.0)
     brake = jnp.where(a0 < 0, -a0, 0.0)
     steer = a1
+    # 3-action envs carry a reverse-gear channel (reference OneCamera env,
+    # environment.py:840,1060-1069); stages disable it (disable_reverse=True)
+    if actions.shape[-1] >= 3 and not disable_reverse:
+        reverse_flag = (actions[..., 2] > 0).astype(jnp.float32)
+    else:
+        reverse_flag = jnp.zeros_like(a0)
 
     if throttle_as_desired_speed:
         desired = (a0 + 1.0) / 2.0 * 100.0                       # km/h
@@ -67,8 +73,8 @@ def actions_to_control(actions: jax.Array, current_speed_ms: jax.Array,
     throttle = jnp.clip(throttle, range_throttle[0], range_throttle[1])
     brake = jnp.clip(brake, range_brake[0], range_brake[1])
     steer = jnp.clip(steer, range_steer[0], range_steer[1])
-    reverse = jnp.zeros_like(a0) if disable_reverse else (a0 * 0.0)  # 2-action env: no reverse
-    return VehicleControl(throttle=throttle, brake=brake, steer=steer, reverse=reverse)
+    return VehicleControl(throttle=throttle, brake=brake, steer=steer,
+                          reverse=reverse_flag)
 
 
 def step_bicycle(x: jax.Array, y: jax.Array, yaw: jax.Array, v: jax.Array,
@@ -84,8 +90,9 @@ def step_bicycle(x: jax.Array, y: jax.Array, yaw: jax.Array, v: jax.Array,
     delta = control.steer * MAX_STEER_ANGLE
     beta = jnp.arctan(jnp.tan(delta) * (LR / WHEELBASE))
     v_mid = 0.5 * (v + v_new)
-    x_new = x + v_mid * jnp.cos(yaw + beta) * dt
-    y_new = y + v_mid * jnp.sin(yaw + beta) * dt
-    yaw_new = yaw + (v_mid / LR) * jnp.sin(beta) * dt
+    direction = 1.0 - 2.0 * control.reverse          # reverse gear flips motion
+    x_new = x + direction * v_mid * jnp.cos(yaw + beta) * dt
+    y_new = y + direction * v_mid * jnp.sin(yaw + beta) * dt
+    yaw_new = yaw + direction * (v_mid / LR) * jnp.sin(beta) * dt
     yaw_new = jnp.arctan2(jnp.sin(yaw_new), jnp.cos(yaw_new))
     return x_new, y_new, yaw_new, v_new

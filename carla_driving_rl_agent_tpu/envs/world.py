@@ -119,6 +119,10 @@ class WorldParams:
     range_controls: Tuple[Tuple[float, float], ...] = ((0.0, 1.0), (0.0, 1.0), (-1.0, 1.0))
     off_road_threshold: float = 7.0
     force_green_lights: bool = True    # training hack (reference environment.py:420-424)
+    # reward function: 'default' = CARLAEnv speed*similarity/d^2
+    # (core/carla_env.py:182-202); 'shaped' = OneCamera time-cost/waypoint/
+    # direction/speed-limit shaping (environment.py:905-923)
+    reward_mode: str = "default"
     seed: int = 42
 
 
@@ -271,12 +275,26 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
                          + jnp.where(hit_other, pen / 100.0, 0.0))
     should_terminate = hit_veh | hit_ped | hit_other
 
-    # --- reward (core/carla_env.py:182-202) ---
+    # --- reward ---
     spd_kmh = dynamics.speed_kmh(v)
-    r_drive = spd_kmh * similarity
-    damp = jnp.maximum(1.0, (d_next / 2.0) ** 2)
-    r_drive = jnp.where(r_drive != 0.0, r_drive / damp, r_drive)
-    reward = jnp.where(collision_penalty > 0.0, -collision_penalty, r_drive)
+    if params.reward_mode == "shaped":
+        # OneCamera shaped reward (reference environment.py:905-923):
+        # time_cost - collision + waypoint term + direction term + speed-limit
+        speed_c = jnp.minimum(spd_kmh, 150.0)
+        direction = jnp.where((similarity >= 0.75) & (similarity <= 1.0),
+                              speed_c * similarity,
+                              (speed_c + 1.0) * jnp.abs(similarity) * -2.0)
+        wp_term = jnp.minimum(d_next, 100.0)
+        wp_term = jnp.where(wp_term <= 5.0, -wp_term, wp_term * -3.0)
+        limit = _speed_limit(town, state.town_id)
+        speed_pen = jnp.where(spd_kmh > limit, 2.0 * (limit - spd_kmh), 0.0)
+        reward = -1.0 - collision_penalty + wp_term + direction + speed_pen
+    else:
+        # CARLAEnv reward (core/carla_env.py:182-202)
+        r_drive = spd_kmh * similarity
+        damp = jnp.maximum(1.0, (d_next / 2.0) ** 2)
+        r_drive = jnp.where(r_drive != 0.0, r_drive / damp, r_drive)
+        reward = jnp.where(collision_penalty > 0.0, -collision_penalty, r_drive)
 
     # --- terminal / truncation (environment.py:946-950; learn-loop cutoff) ---
     arrived = d_dest <= 2.0
