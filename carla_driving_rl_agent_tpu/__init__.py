@@ -23,6 +23,21 @@ Layout (mirrors the reference's layer map, SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: the fused train program is large and
+# remote-attached TPU compiles are minutes — cache across processes.
+try:
+    import jax as _jax
+
+    _cache_dir = _os.environ.get("CDRL_JAX_CACHE",
+                                 _os.path.expanduser("~/.cache/cdrl_jax"))
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from carla_driving_rl_agent_tpu.utils import math as math_utils  # noqa: F401
 
 

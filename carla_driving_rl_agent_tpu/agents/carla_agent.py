@@ -419,7 +419,17 @@ class CARLAgent:
             self._train_fn = self._build_train_fn()
         if env_states is None:
             self._key, k = jax.random.split(self._key)
-            env_states, _ = self.env.reset_batch(k, self.config.num_envs)
+            env = self.env
+
+            # jit the initial reset: eager reset produces weak-typed leaves
+            # that force ONE full retrace of the train program on the second
+            # call (and eager stepping is slow on remote-attached backends)
+            def reset_all(key, consts):
+                with env.bind(consts):
+                    states, _ = env.reset_batch(key, self.config.num_envs)
+                    return states
+
+            env_states = jax.jit(reset_all)(k, env.consts)
 
         history = []
         for _ in range(num_updates):
