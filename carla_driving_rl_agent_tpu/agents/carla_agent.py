@@ -517,7 +517,10 @@ class CARLAgent:
 
         # oversample worlds so >=trials valid episodes survive the t>32 filter
         num_worlds = max(trials + 8, int(trials * 1.25))
-        eval_fn = self._build_eval_fn(num_worlds, timesteps)
+        if self._eval_fn is None or self._eval_fn[0] != (num_worlds, timesteps):
+            self._eval_fn = ((num_worlds, timesteps),
+                             self._build_eval_fn(num_worlds, timesteps))
+        eval_fn = self._eval_fn[1]
         self._key, k = jax.random.split(self._key)
         acc = jax.device_get(eval_fn(self.params, self.stats, k, self.env.consts))
 

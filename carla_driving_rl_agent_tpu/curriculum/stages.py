@@ -311,6 +311,36 @@ def stage_s5(episodes: int, timesteps: int, batch_size: int, town: str,
                                           save_every=save_every)))
 
 
+EVAL_TOWNS = ("Town01", "Town02", "Town03", "Town04", "Town05", "Town06",
+              "Town07", "Town10")
+_EVAL_STAGE_CACHE: dict = {}
+
+
+def _eval_stage(mode: str, traffic: str, steps: int, trials: int,
+                weights: str, num_envs: Optional[int]) -> Stage:
+    """One multi-town Stage per (mode, traffic) config: the env holds the
+    full 8-town bank and the eval program compiles ONCE; scenarios pin the
+    town via the traced `select_town` — instead of rebuilding env + program
+    for each of the 48 scenarios."""
+    key = (mode, traffic, steps, trials, weights, num_envs)
+    if key not in _EVAL_STAGE_CACHE:
+        weather = list(TRAIN_WEATHERS) if mode == "train" else list(TEST_WEATHERS)
+        hp = _stage_common({})
+        agent = define_agent(batch_size=64, num_envs=num_envs or max(8, trials),
+                             rollout_steps=8, name=weights, load=True,
+                             load_full=True, seed=42, aug_intensity=0.0,
+                             log_mode=None, **hp)
+        env = define_env(town=EVAL_TOWNS[0], random_towns=list(EVAL_TOWNS),
+                         random_weathers=weather, spawn=TRAFFIC_SPECS[traffic],
+                         throttle_as_desired_speed=True, disable_reverse=True,
+                         max_timesteps=steps, seed=42)
+        stage = Stage(agent=agent, environment=env, name=weights,
+                      learning=dict(agent=dict(episodes=1, timesteps=steps)))
+        stage.init()
+        _EVAL_STAGE_CACHE[key] = stage
+    return _EVAL_STAGE_CACHE[key]
+
+
 def evaluate(mode: str, town: str, seeds: list, traffic: str, steps: int = 512,
              trials: int = 50, weights: str = "stage-s5",
              num_envs: Optional[int] = None) -> None:
@@ -318,13 +348,10 @@ def evaluate(mode: str, town: str, seeds: list, traffic: str, steps: int = 512,
     (reference `core/learning.py:505-530`): train-mode uses the 7 light
     training weathers, test-mode the 7 held-out presets; per-seed scenario
     JSONs named `{weights}-{mode}-{steps}-{trials}-{town}-{traffic}-{seed}`."""
-    weather = list(TRAIN_WEATHERS) if mode == "train" else list(TEST_WEATHERS)
-    stage = stage_s5(episodes=1, timesteps=steps, batch_size=1, town=town,
-                     stage_name=weights, weather=weather, aug_intensity=0.0,
-                     repeat_action=1, traffic=traffic,
-                     num_envs=num_envs or max(8, trials))
+    stage = _eval_stage(mode, traffic, steps, trials, weights, num_envs)
+    stage.env.select_town(town if town in stage.env.params.town_names else None)
     for i, seed in enumerate(seeds):
         stage.evaluate(
             name=f"{weights}-{mode}-{steps}-{trials}-{town}-{traffic}-{seed}",
             timesteps=steps, trials=trials, initial_seed=seed)
-    stage.cleanup()
+    stage.env.select_town(None)

@@ -34,6 +34,7 @@ class EnvConsts(NamedTuple):
     town: "world_mod.TownDev"
     routes: "world_mod.RoutesDev"
     weather: jax.Array
+    town_select: jax.Array  # () int32; >=0 pins every episode to that town
 
 
 class _Bind:
@@ -42,14 +43,17 @@ class _Bind:
         self.consts = consts
 
     def __enter__(self):
-        self._old = (self.env.town, self.env.routes, self.env.weather_params)
+        self._old = (self.env.town, self.env.routes, self.env.weather_params,
+                     getattr(self.env, "town_select", None))
         self.env.town = self.consts.town
         self.env.routes = self.consts.routes
         self.env.weather_params = self.consts.weather
+        self.env.town_select = self.consts.town_select
         return self.env
 
     def __exit__(self, *exc):
-        self.env.town, self.env.routes, self.env.weather_params = self._old
+        (self.env.town, self.env.routes, self.env.weather_params,
+         self.env.town_select) = self._old
         return False
 
 
@@ -99,8 +103,28 @@ class CARLAEnv:
     # and is pathologically slow to compile on remote-attached TPUs.
     @property
     def consts(self) -> "EnvConsts":
+        ts = getattr(self, "town_select", None)
+        if ts is None:
+            ts = jnp.asarray(-1, jnp.int32)
         return EnvConsts(town=self.town, routes=self.routes,
-                         weather=self.weather_params)
+                         weather=self.weather_params, town_select=ts)
+
+    def _town_select(self):
+        ts = getattr(self, "town_select", None)
+        return jnp.asarray(-1, jnp.int32) if ts is None else ts
+
+    def select_town(self, town) -> None:
+        """Pin future episodes to one town of the bank (traced through
+        consts — no recompilation). `town` is an index or a name; None/-1
+        restores the config's default behavior.  Reference equivalent:
+        `env.set_town(town)` (`environment.py:257-279`)."""
+        if town is None:
+            idx = -1
+        elif isinstance(town, str):
+            idx = list(self.params.town_names).index(town)
+        else:
+            idx = int(town)
+        self.town_select = jnp.asarray(idx, jnp.int32)
 
     def bind(self, consts: "EnvConsts"):
         """Context manager swapping in traced constant arrays while tracing."""
@@ -224,7 +248,8 @@ class CARLAEnv:
 
     def reset(self, key: jax.Array, episode=0, frame_id=-1) -> Tuple[EnvState, dict]:
         world = world_mod.reset_world(key, self.params, self.town, self.routes,
-                                      episode=episode)
+                                      episode=episode,
+                                      town_select=self._town_select())
         frame = self.frame_obs(world)
         state = self._fresh_state(world, frame, frame_id)
         return state, self.observe(state)
@@ -253,8 +278,10 @@ class CARLAEnv:
         # merged state (rendering is the expensive part of a step)
         done = term | trunc
         reset_key, _ = jax.random.split(world.key)
-        fresh_world = world_mod.reset_world(reset_key, self.params, self.town,
-                                            self.routes, episode=world.episode + 1)
+        fresh_world = world_mod.reset_world(
+            reset_key, self.params, self.town, self.routes,
+            episode=world.episode + 1,
+            town_select=self._town_select())
         merged_world = jax.tree_util.tree_map(
             lambda a, b: jnp.where(_expand(done, a), a, b), fresh_world, world)
 

@@ -174,7 +174,8 @@ _route_fns = route_mod.make_route_functions(window=10)
 
 
 def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
-                routes: RoutesDev, episode: jax.Array | int = 0) -> WorldState:
+                routes: RoutesDev, episode: jax.Array | int = 0,
+                town_select: jax.Array | int = -1) -> WorldState:
     """Fresh episode: sample town/weather/route, spawn ego + NPCs.
 
     Mirrors the reference's reset pipeline (`environment.py:226-242,487-529` +
@@ -188,6 +189,10 @@ def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
         town_id = jax.random.randint(k_town, (), 0, n_towns)
     else:
         town_id = jnp.zeros((), jnp.int32)
+    # traced override: lets one compiled program evaluate on any town in the
+    # bank (the 48-scenario sweep compiles once instead of once per town)
+    town_select = jnp.asarray(town_select, jnp.int32)
+    town_id = jnp.where(town_select >= 0, town_select, town_id).astype(jnp.int32)
 
     w_ids = jnp.asarray(params.weather_ids, jnp.int32)
     weather_id = w_ids[jax.random.randint(k_weather, (), 0, len(params.weather_ids))]
