@@ -161,6 +161,39 @@ def _build_grid_graph(rng: np.random.Generator, nx: int, ny: int, block: float,
     return nodes, keep
 
 
+MAX_BOW_FRAC = 0.08   # lateral road bow, fraction of edge length
+
+
+def _bowed_centerline(p0: np.ndarray, p1: np.ndarray, bow: float,
+                      res: float) -> np.ndarray:
+    """Quadratic-bezier road centerline with a lateral bow (curved roads:
+    straight grid streets make 'drive straight' trivially optimal, which
+    erases the trained-vs-untrained gap the evaluation protocol measures)."""
+    L = float(np.linalg.norm(p1 - p0))
+    fwd = (p1 - p0) / max(L, 1e-9)
+    perp = np.array([-fwd[1], fwd[0]])
+    mid = (p0 + p1) / 2.0 + perp * bow * L
+    n = max(4, int(round(1.1 * L / res)) + 1)
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    return ((1 - t) ** 2 * p0 + 2 * (1 - t) * t * mid + t ** 2 * p1)
+
+
+def _offset_trimmed(center: np.ndarray, half: float, trim: float) -> np.ndarray:
+    """Offset a centerline to its right by `half`, trimming `trim` meters of
+    arclength at both ends (the junction pocket)."""
+    deltas = np.diff(center, axis=0)
+    seglen = np.linalg.norm(deltas, axis=1)
+    arclen = np.concatenate([[0.0], np.cumsum(seglen)])
+    total = arclen[-1]
+    keep = (arclen >= trim) & (arclen <= total - trim)
+    if keep.sum() < 2:
+        keep = np.ones(len(center), bool)
+    tang = np.vstack([deltas, deltas[-1:]])
+    tang = tang / np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-9)
+    right = np.stack([tang[:, 1], -tang[:, 0]], axis=1)
+    return (center + right * half)[keep]
+
+
 def _densify(p0: np.ndarray, p1: np.ndarray, res: float) -> np.ndarray:
     d = float(np.linalg.norm(p1 - p0))
     n = max(2, int(round(d / res)) + 1)
@@ -195,20 +228,21 @@ def build_town(name: str) -> TownData:
 
     half = LANE_WIDTH / 2.0
 
-    # Build two directed lanes per undirected edge (right-hand traffic: each
-    # directed lane is offset to ITS right of the centerline).
+    # Bowed centerline per undirected edge (curved roads), then two directed
+    # lanes offset to their right of it (right-hand traffic).
+    bows = rng.uniform(-MAX_BOW_FRAC, MAX_BOW_FRAC, size=len(edges))
+    centerlines: List[np.ndarray] = []
     lanes: List[Lane] = []
-    for a, b in edges:
-        for (s, d) in ((a, b), (b, a)):
-            p0, p1 = nodes[s].copy(), nodes[d].copy()
-            fwd = (p1 - p0) / np.linalg.norm(p1 - p0)
-            right = np.array([fwd[1], -fwd[0]])
-            # shrink endpoints toward the node by the junction radius so the
-            # straight part stops at the junction edge
-            p0s = p0 + fwd * (JUNCTION_RADIUS * 0.8) + right * half
-            p1s = p1 - fwd * (JUNCTION_RADIUS * 0.8) + right * half
-            pts = _densify(p0s, p1s, WAYPOINT_RES)
-            lanes.append(Lane(src=s, dst=d, points=pts, yaws=_polyline_yaws(pts)))
+    for e_i, (a, b) in enumerate(edges):
+        center = _bowed_centerline(nodes[a], nodes[b], float(bows[e_i]),
+                                   WAYPOINT_RES)
+        centerlines.append(center)
+        for direction in (1, -1):
+            c = center if direction == 1 else center[::-1]
+            pts = _offset_trimmed(c, half, JUNCTION_RADIUS * 0.8)
+            src, dst = (a, b) if direction == 1 else (b, a)
+            lanes.append(Lane(src=src, dst=dst, points=pts,
+                              yaws=_polyline_yaws(pts)))
 
     # lane successors: lanes leaving lane.dst, excluding the U-turn back to src
     out_lanes: Dict[int, List[int]] = {}
@@ -320,15 +354,26 @@ def build_town(name: str) -> TownData:
     spawn_yaw = np.asarray(spawn_yaw, np.float32)
     spawn_wp = np.asarray(spawn_wp, np.int32)
 
+    # ---- road segments (subdivided bowed centerlines) ----
+    seg_list = []
+    for center in centerlines:
+        step = max(1, int(round(18.0 / WAYPOINT_RES)))
+        coarse = center[::step]
+        if not np.allclose(coarse[-1], center[-1]):
+            coarse = np.vstack([coarse, center[-1]])
+        for i in range(len(coarse) - 1):
+            seg_list.append([coarse[i][0], coarse[i][1],
+                             coarse[i + 1][0], coarse[i + 1][1]])
+    segments = np.asarray(seg_list, np.float32)
+
     # ---- semantic texture + distance field + buildings ----
     width = float(nodes[:, 0].max() + 60.0)
     height = float(nodes[:, 1].max() + 60.0)
-    texture, tex_origin = _rasterize_town(nodes, edges, lanes[:base_lane_count],
-                                          width, height, rng)
+    texture, tex_origin = _rasterize_town(nodes, segments, width, height, rng)
     buildings = _make_buildings(rng, nodes, edges, nx, ny, block)
     _stamp_buildings(texture, tex_origin, TEXTURE_RES, buildings)
 
-    dist_field, dist_origin = _distance_field(nodes, edges, width, height)
+    dist_field, dist_origin = _distance_field(segments, width, height)
 
     return TownData(
         name=name, extent=(width, height),
@@ -348,8 +393,7 @@ def build_town(name: str) -> TownData:
         texture=texture, texture_origin=tex_origin, texture_scale=TEXTURE_RES,
         dist_field=dist_field, dist_origin=dist_origin, dist_scale=DISTANCE_RES,
         buildings=buildings,
-        edges_xy=np.asarray([[nodes[a][0], nodes[a][1], nodes[b][0], nodes[b][1]]
-                             for a, b in edges], np.float32),
+        edges_xy=segments,
         nodes_xy=nodes.astype(np.float32),
     )
 
@@ -358,7 +402,7 @@ def _polyline_length(points: np.ndarray) -> float:
     return float(np.linalg.norm(np.diff(points, axis=0), axis=1).sum())
 
 
-def _rasterize_town(nodes, edges, base_lanes, width, height, rng):
+def _rasterize_town(nodes, segments, width, height, rng):
     th = int(round(height / TEXTURE_RES))
     tw = int(round(width / TEXTURE_RES))
     tex = np.full((th, tw), CLASS_TERRAIN, np.uint8)
@@ -374,9 +418,8 @@ def _rasterize_town(nodes, edges, base_lanes, width, height, rng):
 
     min_d = np.full(len(pts), np.inf, np.float32)
     min_t = np.zeros(len(pts), np.float32)  # distance along nearest segment (for dashes)
-    for a, b in edges:
-        p0, p1 = nodes[a], nodes[b]
-        d, t = _point_segment_distance(pts, p0, p1)
+    for seg in segments:
+        d, t = _point_segment_distance(pts, seg[:2], seg[2:])
         closer = d < min_d
         min_d = np.where(closer, d, min_d)
         min_t = np.where(closer, t, min_t)
@@ -408,9 +451,10 @@ def _point_segment_distance(pts, p0, p1):
 
 
 def _make_buildings(rng, nodes, edges, nx, ny, block):
-    """1-3 rectangular buildings per city block interior."""
+    """1-3 rectangular buildings per city block interior (margin accounts
+    for the maximum road bow)."""
     buildings = []
-    margin = LANE_WIDTH + SIDEWALK_WIDTH + 4.0
+    margin = LANE_WIDTH + SIDEWALK_WIDTH + 4.0 + MAX_BOW_FRAC * block
     edge_set = {tuple(sorted(e)) for e in edges}
 
     def nid(i, j):
@@ -446,15 +490,15 @@ def _stamp_buildings(tex, origin, scale, buildings):
         tex[y0:y1, x0:x1] = CLASS_BUILDING
 
 
-def _distance_field(nodes, edges, width, height):
+def _distance_field(segments, width, height):
     dh = int(round(height / DISTANCE_RES))
     dw = int(round(width / DISTANCE_RES))
     ys, xs = np.mgrid[0:dh, 0:dw]
     pts = np.stack([(xs.ravel() + 0.5) * DISTANCE_RES,
                     (ys.ravel() + 0.5) * DISTANCE_RES], axis=1)
     min_d = np.full(len(pts), np.inf, np.float32)
-    for a, b in edges:
-        d, _ = _point_segment_distance(pts, nodes[a], nodes[b])
+    for seg in segments:
+        d, _ = _point_segment_distance(pts, seg[:2], seg[2:])
         min_d = np.minimum(min_d, d)
     return min_d.reshape(dh, dw).astype(np.float16), np.zeros(2, np.float32)
 

@@ -117,7 +117,7 @@ class WorldParams:
     max_route_len: int = 512
     origin_spawns: Optional[Tuple[int, ...]] = None   # fixed origin set (stage s1/s2)
     range_controls: Tuple[Tuple[float, float], ...] = ((0.0, 1.0), (0.0, 1.0), (-1.0, 1.0))
-    off_road_threshold: float = 7.0
+    off_road_threshold: float = 5.5   # just past the sidewalk = fences/walls
     force_green_lights: bool = True    # training hack (reference environment.py:420-424)
     # reward function: 'default' = CARLAEnv speed*similarity/d^2
     # (core/carla_env.py:182-202); 'shaped' = OneCamera time-cost/waypoint/
