@@ -68,6 +68,9 @@ class CARLAgentConfig:
     aug_intensity: float = 0.0
     aux: float = 1.0
     seed: int = 42
+    # re-seed with a fresh random seed at every update (reference
+    # rl/agents/ppo.py:44-52 re-seeds tf/np/random per episode/update)
+    seed_regularization: bool = False
     # network spec (reference core/carla_agent.py:61-68)
     network: Dict[str, Any] = field(default_factory=dict)
     compute_dtype: str = "float32"
@@ -432,8 +435,11 @@ class CARLAgent:
             env_states = jax.jit(reset_all)(k, env.consts)
 
         history = []
+        import random as py_random
         for _ in range(num_updates):
             self._set_lrs()
+            if self.config.seed_regularization:
+                self._key = jax.random.PRNGKey(py_random.randint(0, 2 ** 32 - 1))
             self._key, k = jax.random.split(self._key)
             out = self._train_fn(self.params, self.stats, self.opt_state,
                                  env_states, k, self._hyper(), self.env.consts)

@@ -158,7 +158,34 @@ class Stage:
         self.cleanup(close=False)
         return self
 
-    run = run2  # the reference's run() adds collect/representation phases
+    def run(self, epochs: int, collect: Union[bool, int] = True,
+            representation: bool = True) -> "Stage":
+        """collect -> (representation) -> RL per epoch
+        (reference `core/learning.py:119-142`; representation learning is a
+        declared-but-unimplemented hook in the reference too)."""
+        assert epochs > 0
+        self.init()
+        if (collect is False) or (not self.should_collect):
+            collect_left = 0
+        elif collect is True:
+            collect_left = epochs + 1
+        else:
+            collect_left = int(collect)
+        for _ in range(epochs):
+            if collect_left > 0:
+                self.collect()
+                collect_left -= 1
+            if self.repr_args and representation:
+                self.representation_learning()
+            self.reinforcement_learning()
+        self.cleanup(close=False)
+        return self
+
+    def representation_learning(self):
+        raise NotImplementedError(
+            "representation learning is a hook in the reference as well "
+            "(Stage.run calls agent.learn_representation, which CARLAgent "
+            "never defines); use imitation_learning instead")
 
     def evaluate(self, **kwargs) -> "Stage":
         self.init()
