@@ -71,6 +71,14 @@ class CARLAgentConfig:
     # re-seed with a fresh random seed at every update (reference
     # rl/agents/ppo.py:44-52 re-seeds tf/np/random per episode/update)
     seed_regularization: bool = False
+    # CARLA-reference quirk: its policy objective evaluates log-probs on a
+    # FRESH sample from the current policy (core/networks.py:96-110 +
+    # core/carla_agent.py:394-428) instead of the stored rollout action.
+    # That gradient tunes policy confidence but cannot learn WHICH action was
+    # good; measured on stage-s1 it fails to beat the untrained baseline.
+    # Default follows the reference's own BASE objective (stored actions,
+    # rl/agents/ppo.py:309-358); set True for strict CARLA-variant parity.
+    resample_actions: bool = False
     # network spec (reference core/carla_agent.py:61-68)
     network: Dict[str, Any] = field(default_factory=dict)
     compute_dtype: str = "float32"
@@ -170,8 +178,14 @@ class CARLAgent:
         pol, p_stats = self.network.policy_apply(params, stats, feat, training=True)
         dist: Beta = pol["dist"]
 
-        # fresh sample from the current policy (reference core/networks.py:96-110)
-        sample = dist.clip(dist.sample(key))
+        if self.config.resample_actions:
+            # fresh sample from the current policy (reference quirk,
+            # core/networks.py:96-110; see CARLAgentConfig.resample_actions)
+            sample = dist.clip(dist.sample(key))
+        else:
+            # standard PPO: log-prob of the STORED rollout action
+            # (reference base objective, rl/agents/ppo.py:322-325)
+            sample = dist.clip(batch["obs"]["action"])
         log_prob = dist.log_prob(sample)
         entropy = jnp.mean(dist.entropy())
 
