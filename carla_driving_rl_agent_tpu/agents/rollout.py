@@ -110,10 +110,14 @@ def gather_image_stacks(traj: Trajectory, sample_step: jax.Array,
                         sample_env: jax.Array) -> jax.Array:
     """Reassemble (mb, T, H, W, C) image stacks for the given flat samples.
 
-    frames timeline: ids -T..-1 live in init_stack, 0..S-1 in frames.
+    frames timeline: ids -T..-1 live in init_stack, 0..S-1 in frames; ids
+    < -T are the zero-frame sentinel of episodes freshly reset mid-rollout
+    (their stack slots hold the default zero observation).
     """
     time_h = traj.init_stack.shape[0]
     all_frames = jnp.concatenate([traj.init_stack, traj.frames], axis=0)  # (T+S, B, ...)
     ids = traj.stack_ids[sample_step, sample_env]          # (mb, T)
-    ids = jnp.clip(ids + time_h, 0, all_frames.shape[0] - 1)
-    return all_frames[ids, sample_env[:, None]]            # (mb, T, H, W, C)
+    is_zero = ids < -time_h
+    idx = jnp.clip(ids + time_h, 0, all_frames.shape[0] - 1)
+    frames = all_frames[idx, sample_env[:, None]]          # (mb, T, H, W, C)
+    return jnp.where(is_zero[..., None, None, None], jnp.zeros_like(frames), frames)

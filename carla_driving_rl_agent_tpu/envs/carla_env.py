@@ -239,7 +239,10 @@ class CARLAEnv:
         veh_stack = jnp.zeros((T, 4)).at[-1].set(frame["vehicle"])
         nav_stack = jnp.zeros((T, self.params.num_waypoints_for_feature)).at[-1].set(
             frame["navigation"])
-        stack_ids = jnp.full((T,), -1, jnp.int32).at[-1].set(
+        # zero-frame sentinel -(T+1): slots holding the default (zero)
+        # observation of a fresh episode. ids in [-T, -1] are reserved for
+        # the trainer's pre-rollout snapshot relabeling (agents/rollout.py).
+        stack_ids = jnp.full((T,), -(T + 1), jnp.int32).at[-1].set(
             jnp.asarray(frame_id, jnp.int32))
         return EnvState(world=world, image_stack=img_stack, road_stack=road_stack,
                         vehicle_stack=veh_stack, nav_stack=nav_stack,
