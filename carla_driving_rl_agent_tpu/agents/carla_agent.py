@@ -25,8 +25,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field, replace
-from functools import partial
+from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -11,8 +11,7 @@ jitted update/rollout, unlike the reference's global-seed tf ops).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

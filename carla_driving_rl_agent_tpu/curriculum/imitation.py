@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from carla_driving_rl_agent_tpu.curriculum.stages import build_env, define_env

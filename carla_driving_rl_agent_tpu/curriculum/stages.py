@@ -351,6 +351,10 @@ def _eval_stage(mode: str, traffic: str, steps: int, trials: int,
     for each of the 48 scenarios."""
     key = (mode, traffic, steps, trials, weights, num_envs)
     if key not in _EVAL_STAGE_CACHE:
+        # keep at most one live eval stage: each holds device-resident town
+        # banks + a compiled program, and stacking six of them pressures HBM
+        for old in list(_EVAL_STAGE_CACHE):
+            _EVAL_STAGE_CACHE.pop(old).cleanup()
         weather = list(TRAIN_WEATHERS) if mode == "train" else list(TEST_WEATHERS)
         hp = _stage_common({})
         agent = define_agent(batch_size=64, num_envs=num_envs or max(8, trials),

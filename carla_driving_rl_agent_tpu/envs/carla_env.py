@@ -15,8 +15,8 @@ survey): dict(image (T,90,360,C), road (T,9), vehicle (T,4), navigation
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from typing import NamedTuple, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

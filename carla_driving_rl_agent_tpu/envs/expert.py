@@ -15,12 +15,9 @@ cautious / normal / aggressive = speed factor + safety distances.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
-from carla_driving_rl_agent_tpu.envs.dynamics import MS_TO_KMH
 from carla_driving_rl_agent_tpu.envs.world import WorldState, WorldParams, TownDev, RoutesDev
 from carla_driving_rl_agent_tpu.envs import traffic
 

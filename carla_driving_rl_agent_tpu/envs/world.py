@@ -20,8 +20,8 @@ Behavior contracts preserved (file:line cite the reference):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import NamedTuple, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +29,7 @@ import numpy as np
 
 from carla_driving_rl_agent_tpu.envs import dynamics, route as route_mod, traffic
 from carla_driving_rl_agent_tpu.envs import town as town_mod
-from carla_driving_rl_agent_tpu.envs import weather as weather_mod
-from carla_driving_rl_agent_tpu.envs.dynamics import DT, MS_TO_KMH
+from carla_driving_rl_agent_tpu.envs.dynamics import DT
 
 
 class TownDev(NamedTuple):

@@ -27,7 +27,6 @@ gather per world per step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

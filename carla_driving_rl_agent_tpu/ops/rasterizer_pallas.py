@@ -18,7 +18,6 @@ Used when CARLAEnvConfig.render_mode == 'pallas'; numerically it matches the
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import os
 import random as py_random
-from typing import Iterator, List, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 
