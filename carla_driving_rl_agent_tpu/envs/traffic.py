@@ -71,9 +71,9 @@ def init_npcs(key: jax.Array, town, town_id: jax.Array,
 
     # vehicles: random distinct-ish spawn points, not too close to ego
     s_idx = jax.random.randint(k1, (v_max,), 0, jnp.maximum(n_spawn, 1))
-    sxy = town.spawn_xy[town_id][s_idx]
-    syaw = town.spawn_yaw[town_id][s_idx]
-    swp = town.spawn_wp[town_id][s_idx]
+    sxy = town.spawn_xy[town_id, s_idx]
+    syaw = town.spawn_yaw[town_id, s_idx]
+    swp = town.spawn_wp[town_id, s_idx]
     far_from_ego = jnp.linalg.norm(sxy - ego_xy[None], axis=-1) > min_ego_distance
     slot_on = (jnp.arange(v_max) < num_vehicles) & far_from_ego
     # avoid stacking two NPCs on the same spawn: deactivate duplicates
@@ -90,8 +90,8 @@ def init_npcs(key: jax.Array, town, town_id: jax.Array,
     # pedestrians: offset from random waypoints onto the sidewalk side
     n_wp = town.num_wp[town_id]
     w_idx = jax.random.randint(k2, (p_max,), 0, jnp.maximum(n_wp, 1))
-    wxy = town.wp_xy[town_id][w_idx]
-    wyaw = town.wp_yaw[town_id][w_idx]
+    wxy = town.wp_xy[town_id, w_idx]
+    wyaw = town.wp_yaw[town_id, w_idx]
     side = jnp.sign(jax.random.normal(k3, (p_max,)))
     offset = 4.5 + jax.random.uniform(k4, (p_max,)) * 1.5
     normal = jnp.stack([-jnp.sin(wyaw), jnp.cos(wyaw)], axis=-1)
@@ -110,8 +110,8 @@ def _sample_ped_goals(key, town, town_id, p_max):
     k1, k2, k3 = jax.random.split(key, 3)
     n_wp = town.num_wp[town_id]
     w_idx = jax.random.randint(k1, (p_max,), 0, jnp.maximum(n_wp, 1))
-    wxy = town.wp_xy[town_id][w_idx]
-    wyaw = town.wp_yaw[town_id][w_idx]
+    wxy = town.wp_xy[town_id, w_idx]
+    wyaw = town.wp_yaw[town_id, w_idx]
     side = jnp.sign(jax.random.normal(k2, (p_max,)))
     offset = 4.0 + jax.random.uniform(k3, (p_max,)) * 3.0
     normal = jnp.stack([-jnp.sin(wyaw), jnp.cos(wyaw)], axis=-1)
@@ -122,29 +122,27 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
               sim_time: jax.Array, ego_xy: jax.Array, ego_v: jax.Array,
               ego_yaw: jax.Array, speed_factor: float = 0.8) -> NPCState:
     """Advance all NPC vehicles and pedestrians one tick."""
-    wp_xy = town.wp_xy[town_id]
-    wp_next = town.wp_next[town_id]
-    wp_num_next = town.wp_num_next[town_id]
-    wp_speed = town.wp_speed_limit[town_id]
-    wp_dj = town.wp_dist_to_junction[town_id]
-    wp_jid = town.wp_junction_id[town_id]
+    # NOTE: all town-table lookups use fused two-level gathers
+    # (arr[town_id, idx]) — materializing arr[town_id] first copies whole
+    # padded waypoint tables per world under vmap.
     j_phase = town.junction_phase[town_id]
 
     # ---- vehicles ----
-    target = wp_xy[npc.veh_wp]                       # (V, 2)
+    target = town.wp_xy[town_id, npc.veh_wp]         # (V, 2)
     to_t = target - npc.veh_xy
     dist_t = jnp.linalg.norm(to_t, axis=-1)
     # advance waypoint when close; pick a successor branch randomly at lane ends
     k_branch, key = jax.random.split(key)
     branch = jax.random.randint(k_branch, npc.veh_wp.shape, 0, 3)
-    branch = jnp.minimum(branch, jnp.maximum(wp_num_next[npc.veh_wp] - 1, 0))
-    nxt = wp_next[npc.veh_wp, branch]
-    nxt = jnp.where(nxt < 0, wp_next[npc.veh_wp, 0], nxt)
+    branch = jnp.minimum(branch, jnp.maximum(
+        town.wp_num_next[town_id, npc.veh_wp] - 1, 0))
+    nxt = town.wp_next[town_id, npc.veh_wp, branch]
+    nxt = jnp.where(nxt < 0, town.wp_next[town_id, npc.veh_wp, 0], nxt)
     nxt = jnp.where(nxt < 0, npc.veh_wp, nxt)
     reached = dist_t < 2.5
     new_wp = jnp.where(reached, nxt, npc.veh_wp).astype(jnp.int32)
 
-    target = wp_xy[new_wp]
+    target = town.wp_xy[town_id, new_wp]
     to_t = target - npc.veh_xy
     desired_yaw = jnp.arctan2(to_t[:, 1], to_t[:, 0])
     yaw_err = jnp.arctan2(jnp.sin(desired_yaw - npc.veh_yaw),
@@ -162,12 +160,12 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     d_hazard = jnp.min(jnp.where(in_cone & (all_active > 0), d_all, 1e6), axis=1)
 
     # red light stop: approaching a junction with a red/yellow light
-    my_jid = wp_jid[new_wp]
-    my_dj = wp_dj[new_wp]
+    my_jid = town.wp_junction_id[town_id, new_wp]
+    my_dj = town.wp_dist_to_junction[town_id, new_wp]
     light = light_phase_state(sim_time, j_phase[jnp.maximum(my_jid, 0)], npc.veh_yaw)
     at_red = (my_jid >= 0) & (my_dj < 14.0) & (my_dj > 3.0) & (light != LIGHT_GREEN)
 
-    target_speed = wp_speed[new_wp] / MS_TO_KMH * speed_factor
+    target_speed = town.wp_speed_limit[town_id, new_wp] / MS_TO_KMH * speed_factor
     target_speed = jnp.where(d_hazard < 18.0, target_speed * (d_hazard - 6.0) / 12.0, target_speed)
     target_speed = jnp.where(at_red, 0.0, jnp.maximum(target_speed, 0.0))
 
