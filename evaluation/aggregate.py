@@ -29,11 +29,19 @@ NAME_RE = re.compile(
     r"-(?P<town>Town\d+\w*)-(?P<traffic>no|regular|dense)-(?P<seed>\d+)\.json")
 
 
-def aggregate(eval_dir: str) -> dict:
+def aggregate(eval_dir: str, weights: str = None) -> dict:
+    """Aggregate scenario JSONs under eval_dir; `weights` (default: the
+    directory's stage name) filters out files copied in by the curriculum
+    weight hand-off, which clones the whole stage dir including old
+    evaluations (see main.py hand_off)."""
+    if weights is None:
+        weights = os.path.basename(os.path.dirname(os.path.normpath(eval_dir)))
     scenarios = defaultdict(lambda: defaultdict(list))
     for fname in sorted(os.listdir(eval_dir)):
         m = NAME_RE.match(fname)
         if not m:
+            continue
+        if weights and m["weights"] != weights:
             continue
         with open(os.path.join(eval_dir, fname)) as f:
             record = json.load(f)

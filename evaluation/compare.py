@@ -28,11 +28,17 @@ ARROW = dict(collision_rate="v", similarity="^", waypoint_distance="v",
 
 
 def load_ours(weights: str) -> dict:
-    """-> {scenario_key: {metric: mean}} from evaluation/<weights>.json."""
+    """-> {scenario_key: {metric: mean}} from evaluation/<weights>.json,
+    falling back to aggregating weights/<weights>/evaluation/ in place."""
     path = os.path.join(REPO, "evaluation", f"{weights}.json")
-    if not os.path.exists(path):
-        return {}
-    data = json.load(open(path))
+    if os.path.exists(path):
+        data = json.load(open(path))
+    else:
+        eval_dir = os.path.join(REPO, "weights", weights, "evaluation")
+        if not os.path.isdir(eval_dir):
+            return {}
+        from aggregate import aggregate
+        data = aggregate(eval_dir)
     return {k: {m: v[m]["mean"] for m in METRICS}
             for k, v in data.items() if k != "__global__"}
 

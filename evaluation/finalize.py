@@ -1,0 +1,50 @@
+"""Merge per-agent aggregates into the reference-shaped evaluation.json.
+
+The reference's `evaluation/evaluation.json` is keyed by agent —
+curriculum / standard / untrained — each mapping scenario keys
+(`{traffic}-{town}-{mode}`) to per-metric mean/std/median.  This script
+rebuilds the same shape from our weights directories:
+
+  curriculum -> weights/stage-s5/evaluation       (s1->s5 curriculum chain)
+  standard   -> weights/stage-standard/evaluation (no-curriculum control)
+  untrained  -> weights/untrained-control/evaluation (random weights)
+
+Usage:
+  python evaluation/finalize.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from aggregate import aggregate
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+AGENTS = {
+    "curriculum": "stage-s5",
+    "standard": "stage-standard",
+    "untrained": "untrained-control",
+}
+
+
+def main() -> None:
+    out = {}
+    for agent, weights in AGENTS.items():
+        eval_dir = os.path.join(REPO, "weights", weights, "evaluation")
+        if not os.path.isdir(eval_dir):
+            print(f"[finalize] {agent}: {eval_dir} missing, skipped")
+            continue
+        agg = aggregate(eval_dir)
+        agg.pop("__global__", None)
+        out[agent] = agg
+        print(f"[finalize] {agent}: {len(agg)} scenarios from {weights}")
+    path = os.path.join(REPO, "evaluation", "evaluation.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"[finalize] wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

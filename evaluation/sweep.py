@@ -98,7 +98,7 @@ def main() -> None:
         if failed:
             print(f"[sweep] INCOMPLETE groups: {failed}")
 
-    from evaluation.aggregate import aggregate
+    from aggregate import aggregate
     eval_dir = os.path.join(REPO, "weights", args.weights, "evaluation")
     out = aggregate(eval_dir)
     import json

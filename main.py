@@ -79,6 +79,18 @@ def run_evaluation(weights: str = "stage-s5", steps: int = 512, trials: int = 50
                                   weights=weights)
 
 
+def run_standard(epochs: int, num_envs: int = NUM_ENVS):
+    """The no-curriculum control agent (reference README.md:130's "standard"
+    column): PPO trained from scratch directly in the stage-s5 setting, with
+    the same total update budget the curriculum spends across s1->s5."""
+    stage = learning.stage_s5(episodes=EPISODES, timesteps=TIMESTEPS,
+                              batch_size=BATCH, num_envs=num_envs,
+                              town="Town03", traffic="dense",
+                              stage_name="stage-standard", load=False,
+                              save_every="end")
+    stage.run2(epochs=epochs, copy_weights=False)
+
+
 def run_record(weights: str = "stage-s5", timesteps: int = 512, trials: int = 3):
     stage = learning.stage_s5(episodes=1, timesteps=timesteps, batch_size=1,
                               town="Town03", stage_name=weights, traffic="regular",
@@ -91,6 +103,8 @@ if __name__ == "__main__":
     parser.add_argument("--stage", choices=STAGE_ORDER)
     parser.add_argument("--curriculum", action="store_true")
     parser.add_argument("--evaluate", action="store_true")
+    parser.add_argument("--standard", action="store_true",
+                        help="train the no-curriculum control agent")
     parser.add_argument("--record", action="store_true")
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--num-envs", type=int, default=NUM_ENVS)
@@ -100,6 +114,8 @@ if __name__ == "__main__":
 
     if args.curriculum:
         run_curriculum(args.epochs, args.num_envs)
+    elif args.standard:
+        run_standard(args.epochs, args.num_envs)
     elif args.stage:
         make_stage(args.stage, args.epochs, args.num_envs).run2(epochs=args.epochs)
     elif args.evaluate:
