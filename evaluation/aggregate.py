@@ -30,12 +30,10 @@ NAME_RE = re.compile(
 
 
 def aggregate(eval_dir: str, weights: str = None) -> dict:
-    """Aggregate scenario JSONs under eval_dir; `weights` (default: the
-    directory's stage name) filters out files copied in by the curriculum
-    weight hand-off, which clones the whole stage dir including old
-    evaluations (see main.py hand_off)."""
-    if weights is None:
-        weights = os.path.basename(os.path.dirname(os.path.normpath(eval_dir)))
+    """Aggregate scenario JSONs under eval_dir.  Pass `weights` (the owning
+    stage name) to filter out files copied in by the curriculum weight
+    hand-off, which clones whole stage dirs including old evaluation JSONs
+    (see main.py hand_off); None aggregates everything."""
     scenarios = defaultdict(lambda: defaultdict(list))
     for fname in sorted(os.listdir(eval_dir)):
         m = NAME_RE.match(fname)
@@ -74,7 +72,8 @@ if __name__ == "__main__":
     p.add_argument("eval_dir")
     p.add_argument("-o", "--output", default="evaluation/evaluation.json")
     args = p.parse_args()
-    result = aggregate(args.eval_dir)
+    result = aggregate(args.eval_dir,
+                       weights=os.path.basename(os.path.dirname(os.path.normpath(args.eval_dir))))
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "w") as f:
         json.dump(result, f, indent=2)

@@ -38,7 +38,7 @@ def load_ours(weights: str) -> dict:
         if not os.path.isdir(eval_dir):
             return {}
         from aggregate import aggregate
-        data = aggregate(eval_dir)
+        data = aggregate(eval_dir, weights=weights)
     return {k: {m: v[m]["mean"] for m in METRICS}
             for k, v in data.items() if k != "__global__"}
 

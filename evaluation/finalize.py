@@ -36,7 +36,7 @@ def main() -> None:
         if not os.path.isdir(eval_dir):
             print(f"[finalize] {agent}: {eval_dir} missing, skipped")
             continue
-        agg = aggregate(eval_dir)
+        agg = aggregate(eval_dir, weights=weights)
         agg.pop("__global__", None)
         out[agent] = agg
         print(f"[finalize] {agent}: {len(agg)} scenarios from {weights}")

@@ -100,7 +100,7 @@ def main() -> None:
 
     from aggregate import aggregate
     eval_dir = os.path.join(REPO, "weights", args.weights, "evaluation")
-    out = aggregate(eval_dir)
+    out = aggregate(eval_dir, weights=args.weights)
     import json
     out_path = os.path.join(REPO, "evaluation", f"{args.weights}.json")
     with open(out_path, "w") as f:

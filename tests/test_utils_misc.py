@@ -107,3 +107,25 @@ class TestAggregator:
         assert "dense-Town01-train" in out
         assert out["dense-Town01-train"]["total_reward"]["mean"] == -250.0  # clipped
         assert "__global__" in out
+
+    def test_weights_filter_excludes_handoff_copies(self, tmp_path):
+        """The curriculum hand-off clones whole stage dirs, including old
+        evaluation JSONs of the previous stage; aggregate(weights=...) must
+        ignore those foreign files."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "aggregate", os.path.join(os.path.dirname(__file__), "..",
+                                      "evaluation", "aggregate.py"))
+        agg = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(agg)
+
+        own = {m: [4.0] for m in agg.METRICS}
+        foreign = {m: [0.0] for m in agg.METRICS}
+        with open(tmp_path / "stage-s5-train-512-50-Town01-no-42.json", "w") as f:
+            json.dump(own, f)
+        with open(tmp_path / "stage-s1-train-512-24-Town01-no-42.json", "w") as f:
+            json.dump(foreign, f)
+        out = agg.aggregate(str(tmp_path), weights="stage-s5")
+        assert out["no-Town01-train"]["similarity"]["mean"] == 4.0
+        unfiltered = agg.aggregate(str(tmp_path))
+        assert unfiltered["no-Town01-train"]["similarity"]["mean"] == 2.0
