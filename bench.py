@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 NUM_WORLDS = 1024
-STEPS_PER_CALL = 30
+STEPS_PER_CALL = 32      # divisible by past_obs_freq=4 (block stepping)
 WARMUP_CALLS = 2
 TIMED_CALLS = 5
 
@@ -39,19 +39,35 @@ def main():
 
     states, _ = jax.jit(reset_all)(jax.random.PRNGKey(0), consts)
 
+    block = env.config.past_obs_freq
+
     def rollout_chunk(states, key, consts):
+        """Block-structured stepping (the production rollout path,
+        agents/rollout.run_rollout_blocks): `block` physics steps per
+        rendered frame push — the obs stack only refreshes every
+        past_obs_freq steps, so this is the true per-env-step cost."""
         with env.bind(consts):
-            def body(carry, _):
+            def body(carry, block_idx):
                 states, key = carry
-                key, k = jax.random.split(key)
-                # random driving actions (throttle biased forward)
-                a = jax.random.uniform(k, (NUM_WORLDS, 2),
-                                       minval=jnp.asarray([-0.2, -0.5]),
-                                       maxval=jnp.asarray([0.8, 0.5]))
-                states, obs, reward, term, trunc, info = env.step_batch(states, a)
-                return (states, key), reward[0]
+
+                def sub(inner, _):
+                    states, key, was_reset = inner
+                    key, k = jax.random.split(key)
+                    # random driving actions (throttle biased forward)
+                    a = jax.random.uniform(k, (NUM_WORLDS, 2),
+                                           minval=jnp.asarray([-0.2, -0.5]),
+                                           maxval=jnp.asarray([0.8, 0.5]))
+                    states, reward, term, trunc, info, did_reset = \
+                        env.step_physics_batch(states, a)
+                    return (states, key, was_reset | did_reset), reward[0]
+
+                (states, key, was_reset), rewards = jax.lax.scan(
+                    sub, (states, key, jnp.zeros((NUM_WORLDS,), bool)),
+                    None, length=block)
+                states = env.push_block_frame_batch(states, was_reset)
+                return (states, key), rewards.sum()
             (states, key), rewards = jax.lax.scan(body, (states, key),
-                                                  None, length=STEPS_PER_CALL)
+                                                  jnp.arange(STEPS_PER_CALL // block))
             # scalar probe depending on BOTH rewards and rendered stacks, so
             # fetching it forces the full computation (remote-attached
             # backends have unreliable block_until_ready semantics)

@@ -64,6 +64,11 @@ class CARLAgentConfig:
     update_dynamics: bool = True
     optimizer: str = "adam"
     repeat_action: int = 1
+    # block rollout: one forward pass + one rendered frame per
+    # past_obs_freq steps (distribution-exact vs per-step predicts; see
+    # rollout.run_rollout_blocks). ~3-4x rollout speedup; set False for
+    # strict per-episode push-phase parity.
+    rollout_block: bool = False
     aug_intensity: float = 0.0
     aux: float = 1.0
     seed: int = 42
@@ -241,12 +246,22 @@ class CARLAgent:
             key, k_roll, k_shuffle_p, k_shuffle_v, k_mb = jax.random.split(key, 5)
 
             # ---- rollout (old policy inference; core/networks.py:181-193) ----
-            def predict(net_in, k):
-                return net.predict(params, stats, net_in, k)
+            if cfg.rollout_block:
+                assert cfg.repeat_action == 1, \
+                    "block rollout composes with repeat_action=1 only"
 
-            env_states, traj, final_obs = rollout_mod.run_rollout(
-                env, predict, env_states, k_roll, cfg.rollout_steps,
-                repeat_action=cfg.repeat_action)
+                def predict_n(net_in, k, n):
+                    return net.predict(params, stats, net_in, k, num_samples=n)
+
+                env_states, traj, final_obs = rollout_mod.run_rollout_blocks(
+                    env, predict_n, env_states, k_roll, cfg.rollout_steps)
+            else:
+                def predict(net_in, k):
+                    return net.predict(params, stats, net_in, k)
+
+                env_states, traj, final_obs = rollout_mod.run_rollout(
+                    env, predict, env_states, k_roll, cfg.rollout_steps,
+                    repeat_action=cfg.repeat_action)
 
             # ---- targets ----
             values = um.compose_number(traj.value[..., 0], traj.value[..., 1])  # (S,B)
@@ -490,19 +505,12 @@ class CARLAgent:
                     collision=jnp.zeros(num_worlds),
                 )
 
-                def step_fn(carry, _):
-                    states, key, acc = carry
-                    key, k = jax.random.split(key)
-                    obs = env.observe(states)
-                    net_in = {f"state_{k2}": v for k2, v in obs.items()}
-                    net_in["action"] = states.last_action
-                    pred = net.predict(params, stats, net_in, k)
-                    from carla_driving_rl_agent_tpu.envs.carla_env import convert_action
-                    states, _, reward, term, trunc, info = env.step_batch(
-                        states, convert_action(pred["action"]))
+                from carla_driving_rl_agent_tpu.envs.carla_env import convert_action
+
+                def accumulate(acc, reward, term, trunc, info):
                     a = acc["active"]
                     done = (term | trunc).astype(jnp.float32)
-                    acc = dict(
+                    return dict(
                         active=a * (1.0 - done),
                         total_reward=acc["total_reward"] + reward * a,
                         similarity=acc["similarity"] + info["similarity"] * a,
@@ -514,6 +522,50 @@ class CARLAgent:
                             acc["collision"],
                             info["collision"].astype(jnp.float32) * a * done),
                     )
+
+                def net_input(states):
+                    obs = env.observe(states)
+                    net_in = {f"state_{k2}": v for k2, v in obs.items()}
+                    net_in["action"] = states.last_action
+                    return net_in
+
+                block = env.config.past_obs_freq
+                if self.config.rollout_block and timesteps % block == 0:
+                    def block_fn(carry, _):
+                        states, key, acc = carry
+                        key, k = jax.random.split(key)
+                        pred = net.predict(params, stats, net_input(states),
+                                           k, num_samples=block)
+
+                        def sub(inner, i):
+                            states, acc, was_reset = inner
+                            states, reward, term, trunc, info, did_reset = \
+                                env.step_physics_batch(
+                                    states, convert_action(pred["action"][i]))
+                            states = states._replace(
+                                last_action=pred["action"][i])
+                            acc = accumulate(acc, reward, term, trunc, info)
+                            return (states, acc, was_reset | did_reset), None
+
+                        (states, acc, was_reset), _ = jax.lax.scan(
+                            sub, (states, acc,
+                                  jnp.zeros((num_worlds,), bool)),
+                            jnp.arange(block))
+                        states = env.push_block_frame_batch(states, was_reset)
+                        return (states, key, acc), None
+
+                    (states, key, acc), _ = jax.lax.scan(
+                        block_fn, (states, key, acc), None,
+                        length=timesteps // block)
+                    return acc
+
+                def step_fn(carry, _):
+                    states, key, acc = carry
+                    key, k = jax.random.split(key)
+                    pred = net.predict(params, stats, net_input(states), k)
+                    states, _, reward, term, trunc, info = env.step_batch(
+                        states, convert_action(pred["action"]))
+                    acc = accumulate(acc, reward, term, trunc, info)
                     return (states, key, acc), None
 
                 (states, key, acc), _ = jax.lax.scan(

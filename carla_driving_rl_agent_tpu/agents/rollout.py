@@ -106,6 +106,89 @@ def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
     return env_states, traj, final_obs
 
 
+def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
+                       env_states: EnvState, key: jax.Array, num_steps: int,
+                       block_size: int = None):
+    """Block-structured rollout: ONE network forward pass and ONE rendered
+    frame per `block_size` consecutive steps.
+
+    Exactness: the policy input (the past-obs stack) is constant between
+    frame pushes (reference core/carla_env.py:290-299 refreshes it every
+    past_obs_freq steps; the per-step `action` input is never wired into the
+    reference's dynamics graph, core/networks.py:38-56), so sampling
+    block_size iid actions from one forward pass matches the reference's
+    per-step predicts in distribution.  Deviations (documented in
+    CARLAEnv.step_physics): block-aligned push phase; worlds auto-reset
+    mid-block see zero stacks until the block boundary.
+
+    predict_fn(net_in, key, num_samples) must return action/log_prob with a
+    leading (num_samples,) axis.  Returns (new_env_states, Trajectory,
+    final_obs) with the same (S, B) per-step record shapes as run_rollout;
+    Trajectory.frames has one entry per BLOCK (ids stay consistent because
+    stack_ids index into init_stack ++ frames).
+    """
+    block = block_size or env.config.past_obs_freq
+    assert num_steps % block == 0, (num_steps, block)
+    num_blocks = num_steps // block
+    time_h = env.config.time_horizon
+
+    init_stack = jnp.swapaxes(env_states.image_stack, 0, 1)  # (T, B, H, W, C)
+    batch = init_stack.shape[1]
+    start_ids = jnp.tile(jnp.arange(-time_h, 0, dtype=jnp.int32)[None], (batch, 1))
+    env_states = env_states._replace(stack_ids=start_ids)
+
+    def block_fn(carry, block_idx):
+        states, key = carry
+        obs_ids = states.stack_ids          # ids of the stacks observed below
+        key, k_act = jax.random.split(key)
+        obs = env.observe(states)
+        net_in = {f"state_{k}": v for k, v in obs.items()}
+        net_in["action"] = states.last_action
+        pred = predict_fn(net_in, k_act, block)      # action: (block, B, A)
+
+        def sub_step(inner, i):
+            states, was_reset = inner
+            action01 = pred["action"][i]
+            states, reward, term, trunc, info, did_reset = \
+                env.step_physics_batch(states, convert_action(action01))
+            states = states._replace(last_action=action01)
+            rec = dict(action=action01, log_prob=pred["log_prob"][i],
+                       reward=reward, terminated=term.astype(jnp.float32),
+                       truncated=trunc.astype(jnp.float32),
+                       speed=info["speed"], similarity=info["similarity"])
+            return (states, was_reset | did_reset), rec
+
+        (states, was_reset), sub = jax.lax.scan(
+            sub_step, (states, jnp.zeros((batch,), bool)), jnp.arange(block))
+
+        states = env.push_block_frame_batch(
+            states, was_reset, jnp.full((batch,), block_idx, jnp.int32))
+
+        # per-sub-step records; block-constant fields broadcast over `block`
+        rep = lambda x: jnp.broadcast_to(x[None], (block,) + x.shape)
+        record = dict(road=rep(obs["road"]), vehicle=rep(obs["vehicle"]),
+                      navigation=rep(obs["navigation"]),
+                      stack_ids=rep(obs_ids),
+                      frames=states.image_stack[:, -1],
+                      value=rep(pred["value"]), **sub)
+        return (states, key), record
+
+    (env_states, _), records = jax.lax.scan(
+        block_fn, (env_states, key), jnp.arange(num_blocks))
+
+    # (num_blocks, block, B, ...) -> (S, B, ...) for per-step fields;
+    # frames stays (num_blocks, B, ...)
+    frames = records.pop("frames")
+
+    def merge(x):
+        return x.reshape((num_blocks * block,) + x.shape[2:])
+
+    records = {k: merge(v) for k, v in records.items()}
+    traj = Trajectory(init_stack=init_stack, frames=frames, **records)
+    final_obs = env.observe(env_states)
+    return env_states, traj, final_obs
+
+
 def gather_image_stacks(traj: Trajectory, sample_step: jax.Array,
                         sample_env: jax.Array) -> jax.Array:
     """Reassemble (mb, T, H, W, C) image stacks for the given flat samples.

@@ -316,6 +316,67 @@ class CARLAEnv:
             lambda a, b: jnp.where(_expand(done, a), a, b), fresh_state, stepped)
         return new_state, self.observe(new_state), reward, term, trunc, info
 
+    # ---- block-rollout fast path ----------------------------------------
+    # The reference's policy input (the past-obs stack) only refreshes every
+    # past_obs_freq steps (core/carla_env.py:290-299), so rendering every
+    # step is dead work 3/4 of the time.  The block path advances physics
+    # for `block` steps without touching the observation stacks, then
+    # renders exactly ONCE and pushes the frame for all worlds.  Deviation
+    # (documented): the push schedule is block-aligned (global phase)
+    # instead of per-episode phase, and a world that auto-resets mid-block
+    # gets its first frame at the block boundary, <=block-1 steps after
+    # spawn, with all-zero stacks until then — mirroring the reference's
+    # zero-filled `_init_past_obs` episode start (core/carla_env.py:323-325).
+
+    def step_physics(self, state: EnvState, action: jax.Array):
+        """World-only step with auto-reset; stacks pass through untouched.
+        Returns (state', reward, term, trunc, info, was_reset)."""
+        world, reward, term, trunc, info = world_mod.step_world(
+            state.world, action, self.params, self.town, self.routes)
+        done = term | trunc
+        reset_key, _ = jax.random.split(world.key)
+        fresh_world = world_mod.reset_world(
+            reset_key, self.params, self.town, self.routes,
+            episode=world.episode + 1,
+            town_select=self._town_select())
+        merged_world = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(_expand(done, a), a, b), fresh_world, world)
+        return (state._replace(world=merged_world), reward, term, trunc,
+                info, done)
+
+    def push_block_frame(self, state: EnvState, was_reset: jax.Array,
+                         frame_id: jax.Array | int = -1):
+        """Render once from the current world and push onto the stacks.
+        Worlds flagged `was_reset` (auto-reset at some point since the last
+        push) restart their stacks as [0, ..., 0, frame]."""
+        cfg = self.config
+        T = cfg.time_horizon
+        frame = self.frame_obs(state.world)
+        fid = jnp.asarray(frame_id, jnp.int32)
+
+        def push(stack, item):
+            rolled = jnp.concatenate([stack[1:], item[None]], axis=0)
+            fresh = jnp.zeros_like(stack).at[-1].set(item)
+            return jnp.where(_expand(was_reset, rolled), fresh, rolled)
+
+        ids_rolled = jnp.concatenate([state.stack_ids[1:], fid[None]])
+        ids_fresh = jnp.full((T,), -(T + 1), jnp.int32).at[-1].set(fid)
+        return state._replace(
+            image_stack=push(state.image_stack, frame["image"]),
+            road_stack=push(state.road_stack, frame["road"]),
+            vehicle_stack=push(state.vehicle_stack, frame["vehicle"]),
+            nav_stack=push(state.nav_stack, frame["navigation"]),
+            stack_ids=jnp.where(was_reset, ids_fresh, ids_rolled))
+
+    def step_physics_batch(self, states: EnvState, actions: jax.Array):
+        return jax.vmap(self.step_physics)(states, actions)
+
+    def push_block_frame_batch(self, states: EnvState, was_reset: jax.Array,
+                               frame_ids: jax.Array | int = -1):
+        if isinstance(frame_ids, int):
+            frame_ids = jnp.full((was_reset.shape[0],), frame_ids, jnp.int32)
+        return jax.vmap(self.push_block_frame)(states, was_reset, frame_ids)
+
     # ---- batched conveniences ----
     def reset_batch(self, key: jax.Array, num_envs: int):
         keys = jax.random.split(key, num_envs)

@@ -179,15 +179,26 @@ class CARLANetwork:
             return out, mutated["batch_stats"]
         return self.value_model.apply(variables, feat, training=False), stats["value"]
 
-    def predict(self, params, stats, obs, key: jax.Array):
+    def predict(self, params, stats, obs, key: jax.Array,
+                num_samples: int = None):
         """Rollout-time prediction (reference `core/networks.py:181-193`):
         dynamics -> old_policy sample + value, all in inference mode.
-        Returns (action, mean, std, log_prob, value(base,exp), aux)."""
+        Returns (action, mean, std, log_prob, value(base,exp), aux);
+        with num_samples=n, action/log_prob have a leading (n,) axis."""
         feat, _ = self.dynamics_apply(params, stats, obs, training=False)
         pol, _ = self.policy_apply(params, stats, feat, training=False, old=True)
         val, _ = self.value_apply(params, stats, feat, training=False)
         dist: Beta = pol["dist"]
-        action = dist.clip(dist.sample(key))
+        if num_samples is None:
+            action = dist.clip(dist.sample(key))
+        else:
+            # block rollout: the stacked observation is constant between
+            # frame pushes (reference refreshes it every past_obs_freq=4
+            # steps — core/carla_env.py:290-299 — and the per-step `action`
+            # input is never wired into the reference's dynamics graph,
+            # core/networks.py:38-56), so n iid draws from one forward pass
+            # are distribution-exact vs. n per-step forward passes.
+            action = dist.clip(dist.sample_n(key, num_samples))
         log_prob = dist.log_prob(action)
         return dict(action=action, mean=dist.mean(), std=dist.stddev(),
                     log_prob=log_prob, value=val["value"],

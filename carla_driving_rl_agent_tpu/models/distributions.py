@@ -44,6 +44,13 @@ class Beta:
     def sample(self, key: jax.Array) -> jax.Array:
         return jax.random.beta(key, self.alpha, self.beta)
 
+    def sample_n(self, key: jax.Array, n: int) -> jax.Array:
+        """n iid samples, shape (n,) + batch shape (for the block rollout:
+        the observation stack is constant between pushes, so one forward
+        pass serves `past_obs_freq` consecutive action draws)."""
+        return jax.random.beta(key, self.alpha, self.beta,
+                               shape=(n,) + jnp.shape(self.alpha))
+
     def clip(self, x: jax.Array) -> jax.Array:
         """Clip actions away from {0, 1} for numerical stability
         (reference `core/networks.py:139-144`)."""
