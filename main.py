@@ -29,9 +29,11 @@ NUM_ENVS = 32          # TPU-new: lock-step parallel worlds per update
 STAGE_ORDER = ["s1", "s2", "s3", "s4", "s5"]
 
 
-def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS):
+def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
+               block: bool = False, weights_dir: str = "weights"):
     common = dict(episodes=EPISODES, timesteps=TIMESTEPS, batch_size=BATCH,
-                  num_envs=num_envs, save_every="end")
+                  num_envs=num_envs, save_every="end",
+                  rollout_block=block, weights_dir=weights_dir)
     if which == "s1":
         return learning.stage_s1(**common)
     if which == "s2":
@@ -56,13 +58,15 @@ def hand_off(src_stage: str, dst_stage: str, weights_dir: str = "weights"):
         shutil.copytree(src, dst)
 
 
-def run_curriculum(epochs: int, num_envs: int = NUM_ENVS):
+def run_curriculum(epochs: int, num_envs: int = NUM_ENVS,
+                   block: bool = False, weights_dir: str = "weights"):
     for i, which in enumerate(STAGE_ORDER):
         if i > 0:
-            hand_off(STAGE_ORDER[i - 1], which)
-        print(f"=== stage-{which} ({epochs} epochs) ===")
-        stage = make_stage(which, epochs, num_envs)
-        stage.run2(epochs=epochs)
+            hand_off(STAGE_ORDER[i - 1], which, weights_dir=weights_dir)
+        print(f"=== stage-{which} ({epochs} epochs) ===", flush=True)
+        stage = make_stage(which, epochs, num_envs, block=block,
+                           weights_dir=weights_dir)
+        stage.run2(epochs=epochs, copy_weights=False)
 
 
 def run_evaluation(weights: str = "stage-s5", steps: int = 512, trials: int = 50):
@@ -109,15 +113,20 @@ if __name__ == "__main__":
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--num-envs", type=int, default=NUM_ENVS)
     parser.add_argument("--weights", default="stage-s5")
+    parser.add_argument("--block", action="store_true",
+                        help="block rollout (one forward/render per 4 steps)")
+    parser.add_argument("--weights-dir", default="weights")
     parser.add_argument("--trials", type=int, default=50)
     args = parser.parse_args()
 
     if args.curriculum:
-        run_curriculum(args.epochs, args.num_envs)
+        run_curriculum(args.epochs, args.num_envs, block=args.block,
+                       weights_dir=args.weights_dir)
     elif args.standard:
         run_standard(args.epochs, args.num_envs)
     elif args.stage:
-        make_stage(args.stage, args.epochs, args.num_envs).run2(epochs=args.epochs)
+        make_stage(args.stage, args.epochs, args.num_envs, block=args.block,
+                   weights_dir=args.weights_dir).run2(epochs=args.epochs)
     elif args.evaluate:
         run_evaluation(weights=args.weights, trials=args.trials)
     elif args.record:
