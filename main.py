@@ -58,15 +58,22 @@ def hand_off(src_stage: str, dst_stage: str, weights_dir: str = "weights"):
         shutil.copytree(src, dst)
 
 
-def run_curriculum(epochs: int, num_envs: int = NUM_ENVS,
+def run_curriculum(epochs, num_envs: int = NUM_ENVS,
                    block: bool = False, weights_dir: str = "weights"):
+    """epochs: an int (same for every stage) or a per-stage list
+    "e1,e2,e3,e4,e5" (the original on-TPU curriculum used 30,16,12,10,10)."""
+    if isinstance(epochs, str) and "," in epochs:
+        per_stage = [int(e) for e in epochs.split(",")]
+        assert len(per_stage) == len(STAGE_ORDER)
+    else:
+        per_stage = [int(epochs)] * len(STAGE_ORDER)
     for i, which in enumerate(STAGE_ORDER):
         if i > 0:
             hand_off(STAGE_ORDER[i - 1], which, weights_dir=weights_dir)
-        print(f"=== stage-{which} ({epochs} epochs) ===", flush=True)
-        stage = make_stage(which, epochs, num_envs, block=block,
+        print(f"=== stage-{which} ({per_stage[i]} epochs) ===", flush=True)
+        stage = make_stage(which, per_stage[i], num_envs, block=block,
                            weights_dir=weights_dir)
-        stage.run2(epochs=epochs, copy_weights=False)
+        stage.run2(epochs=per_stage[i], copy_weights=False)
 
 
 def run_evaluation(weights: str = "stage-s5", steps: int = 512, trials: int = 50):
@@ -110,7 +117,8 @@ if __name__ == "__main__":
     parser.add_argument("--standard", action="store_true",
                         help="train the no-curriculum control agent")
     parser.add_argument("--record", action="store_true")
-    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--epochs", default="10",
+                        help="int, or per-stage list 'e1,...,e5' for --curriculum")
     parser.add_argument("--num-envs", type=int, default=NUM_ENVS)
     parser.add_argument("--weights", default="stage-s5")
     parser.add_argument("--block", action="store_true",
@@ -123,10 +131,10 @@ if __name__ == "__main__":
         run_curriculum(args.epochs, args.num_envs, block=args.block,
                        weights_dir=args.weights_dir)
     elif args.standard:
-        run_standard(args.epochs, args.num_envs)
+        run_standard(int(args.epochs), args.num_envs)
     elif args.stage:
-        make_stage(args.stage, args.epochs, args.num_envs, block=args.block,
-                   weights_dir=args.weights_dir).run2(epochs=args.epochs)
+        make_stage(args.stage, int(args.epochs), args.num_envs, block=args.block,
+                   weights_dir=args.weights_dir).run2(epochs=int(args.epochs))
     elif args.evaluate:
         run_evaluation(weights=args.weights, trials=args.trials)
     elif args.record:
