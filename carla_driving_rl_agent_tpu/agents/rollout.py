@@ -126,6 +126,11 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
     final_obs) with the same (S, B) per-step record shapes as run_rollout;
     Trajectory.frames has one entry per BLOCK (ids stay consistent because
     stack_ids index into init_stack ++ frames).
+
+    Sub-steps following a mid-block auto-reset record the block-start value
+    estimate as their baseline (<=block-1 steps of a fresh episode with a
+    stale V). A baseline does not bias the policy gradient as long as it is
+    action-independent, which this one is.
     """
     block = block_size or env.config.past_obs_freq
     assert num_steps % block == 0, (num_steps, block)
