@@ -826,7 +826,11 @@ class CARLAgent:
                     adv_scale=self.adv_scale.serialize(),
                     entropy_strength=self.entropy_strength.serialize(),
                     clip_ratio=self.clip_ratio.serialize(),
-                    update_step=self.update_step)
+                    update_step=self.update_step,
+                    # structural: consumed at agent CONSTRUCTION by eval/load
+                    # call sites (curriculum/stages._eval_stage), not by
+                    # load_config — the network is already built by then
+                    network=self.config.network or {})
 
     def load_config(self, config: dict):
         self.policy_lr.load(config.get("policy_lr", {}))

@@ -357,10 +357,19 @@ def _eval_stage(mode: str, traffic: str, steps: int, trials: int,
             _EVAL_STAGE_CACHE.pop(old).cleanup()
         weather = list(TRAIN_WEATHERS) if mode == "train" else list(TEST_WEATHERS)
         hp = _stage_common({})
+        # structural network spec (e.g. the Beta-head saturation guard) must
+        # match the checkpoint it was trained with — read it back from the
+        # saved config.json (CARLAgent.serialize_config)
+        net_spec = {}
+        cfg_path = os.path.join("weights", weights, "config.json")
+        if os.path.exists(cfg_path):
+            import json as _json
+            with open(cfg_path) as f:
+                net_spec = _json.load(f).get("network", {}) or {}
         agent = define_agent(batch_size=64, num_envs=num_envs or max(8, trials),
                              rollout_steps=8, name=weights, load=True,
                              load_full=True, seed=42, aug_intensity=0.0,
-                             log_mode=None, **hp)
+                             log_mode=None, network=net_spec, **hp)
         env = define_env(town=EVAL_TOWNS[0], random_towns=list(EVAL_TOWNS),
                          random_weathers=weather, spawn=TRAFFIC_SPECS[traffic],
                          throttle_as_desired_speed=True, disable_reverse=True,

@@ -326,6 +326,9 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
         timestep=timestep.astype(jnp.float32),
         total_reward=new_state.total_reward, reward=reward,
         collision=should_terminate,
+        # collision typing + road offset for diagnostics (evaluation/diagnose.py)
+        hit_vehicle=hit_veh, hit_pedestrian=hit_ped, hit_other=hit_other,
+        off_road_distance=off_road,
     )
     return new_state, reward, terminated, truncated, info
 

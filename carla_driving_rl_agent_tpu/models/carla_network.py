@@ -86,11 +86,25 @@ class PolicyHead(nn.Module):
     def __call__(self, dynamics: jax.Array, training: bool = False):
         spec = dict(DEFAULT_CONTROL)
         spec.update(self.spec or {})
+        # Saturation guard (TPU-new, off by default for reference parity):
+        # the softplus(z)+1.01 concentration head has a gradient sink — an
+        # entropy bonus pushes z toward -inf (alpha,beta -> the 1.01 floor =
+        # max entropy) where sigmoid(z) ~ 0 kills ALL policy gradients and
+        # freezes the policy at uniform (observed: trained stage-s5 ends at
+        # alpha,beta ~ 1.01-1.13, ratio pinned at 1.0, kl = 0).  A leaky
+        # floor on the pre-activation keeps z recoverable.
+        preact_floor = spec.pop("preact_floor", None)
         x = ControlBranch(dtype=self.dtype, **spec)(dynamics, training)
         x = x.astype(jnp.float32)
         glorot = nn.initializers.glorot_uniform()
-        alpha = jax.nn.softplus(nn.Dense(self.num_actions, kernel_init=glorot, name="alpha")(x)) + 1.01
-        beta = jax.nn.softplus(nn.Dense(self.num_actions, kernel_init=glorot, name="beta")(x)) + 1.01
+        za = nn.Dense(self.num_actions, kernel_init=glorot, name="alpha")(x)
+        zb = nn.Dense(self.num_actions, kernel_init=glorot, name="beta")(x)
+        if preact_floor is not None:
+            f = float(preact_floor)
+            za = jnp.where(za > f, za, f + 0.05 * (za - f))
+            zb = jnp.where(zb > f, zb, f + 0.05 * (zb - f))
+        alpha = jax.nn.softplus(za) + 1.01
+        beta = jax.nn.softplus(zb) + 1.01
         similarity = jnp.tanh(nn.Dense(1, kernel_init=glorot, name="pi_similarity")(x))
         speed = 2.0 * jax.nn.sigmoid(nn.Dense(1, kernel_init=glorot, name="pi_speed")(x))
         return dict(dist=Beta(alpha=alpha, beta=beta), speed=speed, similarity=similarity)

@@ -29,11 +29,38 @@ NUM_ENVS = 32          # TPU-new: lock-step parallel worlds per update
 STAGE_ORDER = ["s1", "s2", "s3", "s4", "s5"]
 
 
+def sharp_recipe() -> dict:
+    """The 'sharp' training recipe (TPU-new, opt-in via --sharp).
+
+    Fixes the uniform-policy trap the reference's constant entropy bonus
+    (0.1) creates with the softplus+1.01 Beta head: the bonus drives the
+    concentrations to the 1.01 floor within ~8 updates, where the softplus
+    gradient vanishes and the policy freezes at near-uniform forever
+    (measured on stage-s5: alpha,beta in [1.01, 1.13], PPO ratio pinned at
+    1.0, KL = 0 from update ~100 on; driving comes only from tiny biases in
+    the Beta mean — hence the high off-road collision rate).
+
+      * entropy coefficient DECAYS (0.02, x0.5 every 30 updates, floor 1e-4)
+        so early exploration survives but the policy can sharpen;
+      * the Beta head gets a leaky pre-activation floor (see
+        models/carla_network.PolicyHead) so gradients stay alive even if
+        the head is pushed toward the concentration floor.
+    """
+    from carla_driving_rl_agent_tpu.utils.schedules import ExponentialDecay
+    return dict(
+        entropy_regularization=ExponentialDecay(
+            initial_value=0.02, decay_steps=30, decay_rate=0.5, min_value=1e-4),
+        network={"control_policy": {"preact_floor": -3.0}})
+
+
 def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
-               block: bool = False, weights_dir: str = "weights"):
+               block: bool = False, weights_dir: str = "weights",
+               sharp: bool = False):
     common = dict(episodes=EPISODES, timesteps=TIMESTEPS, batch_size=BATCH,
                   num_envs=num_envs, save_every="end",
                   rollout_block=block, weights_dir=weights_dir)
+    if sharp:
+        common.update(sharp_recipe())
     if which == "s1":
         return learning.stage_s1(**common)
     if which == "s2":
@@ -59,7 +86,8 @@ def hand_off(src_stage: str, dst_stage: str, weights_dir: str = "weights"):
 
 
 def run_curriculum(epochs, num_envs: int = NUM_ENVS,
-                   block: bool = False, weights_dir: str = "weights"):
+                   block: bool = False, weights_dir: str = "weights",
+                   sharp: bool = False):
     """epochs: an int (same for every stage) or a per-stage list
     "e1,e2,e3,e4,e5" (the original on-TPU curriculum used 30,16,12,10,10)."""
     if isinstance(epochs, str) and "," in epochs:
@@ -72,7 +100,7 @@ def run_curriculum(epochs, num_envs: int = NUM_ENVS,
             hand_off(STAGE_ORDER[i - 1], which, weights_dir=weights_dir)
         print(f"=== stage-{which} ({per_stage[i]} epochs) ===", flush=True)
         stage = make_stage(which, per_stage[i], num_envs, block=block,
-                           weights_dir=weights_dir)
+                           weights_dir=weights_dir, sharp=sharp)
         stage.run2(epochs=per_stage[i], copy_weights=False)
 
 
@@ -123,18 +151,22 @@ if __name__ == "__main__":
     parser.add_argument("--weights", default="stage-s5")
     parser.add_argument("--block", action="store_true",
                         help="block rollout (one forward/render per 4 steps)")
+    parser.add_argument("--sharp", action="store_true",
+                        help="sharp recipe: decaying entropy + Beta-head "
+                             "saturation guard (see sharp_recipe)")
     parser.add_argument("--weights-dir", default="weights")
     parser.add_argument("--trials", type=int, default=50)
     args = parser.parse_args()
 
     if args.curriculum:
         run_curriculum(args.epochs, args.num_envs, block=args.block,
-                       weights_dir=args.weights_dir)
+                       weights_dir=args.weights_dir, sharp=args.sharp)
     elif args.standard:
         run_standard(int(args.epochs), args.num_envs)
     elif args.stage:
         make_stage(args.stage, int(args.epochs), args.num_envs, block=args.block,
-                   weights_dir=args.weights_dir).run2(epochs=int(args.epochs))
+                   weights_dir=args.weights_dir,
+                   sharp=args.sharp).run2(epochs=int(args.epochs))
     elif args.evaluate:
         run_evaluation(weights=args.weights, trials=args.trials)
     elif args.record:

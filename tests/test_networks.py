@@ -96,3 +96,59 @@ class TestCARLANetwork:
     def test_dynamics_feature_dim(self):
         feat, _ = self.net.dynamics_apply(self.params, self.stats, self.obs)
         assert feat.shape == (2, 512)
+
+
+class TestBetaSaturationGuard:
+    """The opt-in leaky pre-activation floor in PolicyHead (preact_floor):
+    parameter structure and init behavior are identical to the default head,
+    but gradients survive deep softplus saturation (the entropy-bonus trap
+    documented in main.sharp_recipe)."""
+
+    def _heads(self):
+        from carla_driving_rl_agent_tpu.models.carla_network import PolicyHead
+        return (PolicyHead(num_actions=2, spec={}),
+                PolicyHead(num_actions=2, spec={"preact_floor": -3.0}))
+
+    def test_structure_and_init_outputs_match(self):
+        ph, phg = self._heads()
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 512))
+        v1 = ph.init(jax.random.PRNGKey(1), x, training=False)
+        v2 = phg.init(jax.random.PRNGKey(1), x, training=False)
+        assert (jax.tree_util.tree_structure(v1)
+                == jax.tree_util.tree_structure(v2))
+        o1, o2 = ph.apply(v1, x), phg.apply(v2, x)
+        np.testing.assert_allclose(np.asarray(o1["dist"].alpha),
+                                   np.asarray(o2["dist"].alpha), rtol=1e-6)
+
+    def test_gradient_survives_saturation(self):
+        ph, phg = self._heads()
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 512))
+
+        def entropy_of(head, variables):
+            return jnp.mean(head.apply(variables, x)["dist"].entropy())
+
+        def saturate(variables):
+            p = jax.tree_util.tree_map(lambda a: a, variables)
+            p["params"]["alpha"]["bias"] = p["params"]["alpha"]["bias"] - 8.0
+            p["params"]["beta"]["bias"] = p["params"]["beta"]["bias"] - 8.0
+            return p
+
+        v1 = saturate(ph.init(jax.random.PRNGKey(1), x, training=False))
+        v2 = saturate(phg.init(jax.random.PRNGKey(1), x, training=False))
+        g1 = jax.grad(lambda v: entropy_of(ph, v))(v1)
+        g2 = jax.grad(lambda v: entropy_of(phg, v))(v2)
+        n1 = np.abs(np.asarray(g1["params"]["alpha"]["bias"])).mean()
+        n2 = np.abs(np.asarray(g2["params"]["alpha"]["bias"])).mean()
+        assert n2 > 5.0 * n1
+
+
+def test_sharp_recipe_spec():
+    """main.sharp_recipe: decaying entropy + the Beta-head guard."""
+    import main as main_mod
+    recipe = main_mod.sharp_recipe()
+    sched = recipe["entropy_regularization"]
+    assert sched() <= 0.02
+    for _ in range(400):
+        sched.on_episode()
+    assert sched() <= 1e-3
+    assert recipe["network"]["control_policy"]["preact_floor"] == -3.0
