@@ -26,6 +26,9 @@ AGENTS = {
     "curriculum": "stage-s5",
     "standard": "stage-standard",
     "untrained": "untrained-control",
+    # TPU-new: curriculum retrained with the 'sharp' recipe (main.py --sharp);
+    # included only once its sweep exists
+    "curriculum-sharp": "stage-s5-sharp",
 }
 
 

@@ -187,3 +187,28 @@ class TestWorld:
             s1, r1, *_ = world_mod.step_world(s1, a, params, town, routes)
             s2, r2, *_ = world_mod.step_world(s2, a, params, town, routes)
         assert float(s1.x) == float(s2.x) and float(r1) == float(r2)
+
+
+class TestCollisionTypingInfo:
+    """info carries collision typing + road offset (evaluation/diagnose.py)."""
+
+    def test_off_road_exit_typed_as_other(self, world_setup):
+        params, town, routes = world_setup
+        state = world_mod.reset_world(jax.random.PRNGKey(7), params, town, routes)
+        state = state._replace(x=jnp.asarray(5.0), y=jnp.asarray(5.0))
+        _, _, term, _, info = world_mod.step_world(state, jnp.zeros(2),
+                                                   params, town, routes)
+        assert bool(term)
+        assert bool(info["hit_other"])
+        assert not bool(info["hit_vehicle"]) and not bool(info["hit_pedestrian"])
+        assert float(info["off_road_distance"]) > params.off_road_threshold
+
+    def test_on_road_step_has_no_collision_flags(self, world_setup):
+        params, town, routes = world_setup
+        state = world_mod.reset_world(jax.random.PRNGKey(8), params, town, routes)
+        _, _, term, _, info = world_mod.step_world(state, jnp.zeros(2),
+                                                   params, town, routes)
+        assert not bool(term)
+        assert not (bool(info["hit_other"]) or bool(info["hit_vehicle"])
+                    or bool(info["hit_pedestrian"]))
+        assert float(info["off_road_distance"]) <= params.off_road_threshold
