@@ -44,12 +44,20 @@ def sharp_recipe() -> dict:
         so early exploration survives but the policy can sharpen;
       * the Beta head gets a leaky pre-activation floor (see
         models/carla_network.PolicyHead) so gradients stay alive even if
-        the head is pushed toward the concentration floor.
+        the head is pushed toward the concentration floor;
+      * gamma=0.99, lambda=0.95 instead of the reference's 0.9999/0.999:
+        with gamma*lambda ~ 1 GAE degenerates to Monte-Carlo — every action
+        in a collision episode receives the SAME advantage, so there is no
+        within-episode contrast to learn steering from (measured: a
+        sharpened policy trained under parity gamma/lambda confidently
+        drives off-road; training reward flat). TD-based credit assignment
+        localizes blame to the actions near the off-road drift.
     """
     from carla_driving_rl_agent_tpu.utils.schedules import ExponentialDecay
     return dict(
         entropy_regularization=ExponentialDecay(
             initial_value=0.02, decay_steps=30, decay_rate=0.5, min_value=1e-4),
+        gamma=0.99, lambda_=0.95,
         network={"control_policy": {"preact_floor": -3.0}})
 
 
