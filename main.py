@@ -45,19 +45,23 @@ def sharp_recipe() -> dict:
       * the Beta head gets a leaky pre-activation floor (see
         models/carla_network.PolicyHead) so gradients stay alive even if
         the head is pushed toward the concentration floor;
-      * gamma=0.99, lambda=0.95 instead of the reference's 0.9999/0.999:
+      * gamma=0.999, lambda=0.95 instead of the reference's 0.9999/0.999:
         with gamma*lambda ~ 1 GAE degenerates to Monte-Carlo — every action
         in a collision episode receives the SAME advantage, so there is no
         within-episode contrast to learn steering from (measured: a
         sharpened policy trained under parity gamma/lambda confidently
-        drives off-road; training reward flat). TD-based credit assignment
-        localizes blame to the actions near the off-road drift.
+        drives off-road; training reward flat). lambda=0.95 localizes blame
+        to the actions near the off-road drift; gamma=0.999 keeps the value
+        horizon at full-episode length (~512 steps) so crashing still costs
+        the whole remaining episode — gamma=0.99 (a ~100-step horizon) was
+        measured to leave the agent myopically speed-greedy: it matches the
+        frozen-policy baseline's collision rate instead of beating it.
     """
     from carla_driving_rl_agent_tpu.utils.schedules import ExponentialDecay
     return dict(
         entropy_regularization=ExponentialDecay(
             initial_value=0.02, decay_steps=30, decay_rate=0.5, min_value=1e-4),
-        gamma=0.99, lambda_=0.95,
+        gamma=0.999, lambda_=0.95,
         network={"control_policy": {"preact_floor": -3.0}})
 
 

@@ -152,4 +152,4 @@ def test_sharp_recipe_spec():
         sched.on_episode()
     assert sched() <= 1e-3
     assert recipe["network"]["control_policy"]["preact_floor"] == -3.0
-    assert recipe["gamma"] == 0.99 and recipe["lambda_"] == 0.95
+    assert recipe["gamma"] == 0.999 and recipe["lambda_"] == 0.95
