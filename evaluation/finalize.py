@@ -41,6 +41,13 @@ def main() -> None:
             continue
         agg = aggregate(eval_dir, weights=weights)
         agg.pop("__global__", None)
+        if len(agg) < 48:
+            # partial sweeps stay out of the headline file (they'd read as
+            # full-protocol numbers); evaluation/compare.py --agents shows
+            # them with an explicit scenario count instead
+            print(f"[finalize] {agent}: only {len(agg)}/48 scenarios "
+                  f"from {weights}, excluded")
+            continue
         out[agent] = agg
         print(f"[finalize] {agent}: {len(agg)} scenarios from {weights}")
     path = os.path.join(REPO, "evaluation", "evaluation.json")
