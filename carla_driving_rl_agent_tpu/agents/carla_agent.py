@@ -393,7 +393,12 @@ class CARLAgent:
                 g_dyn = um.clip_gradients(grads["dynamics"], cfg.clip_norm[2])
                 uv, opt_v = self.value_opt.update(g_val, opt_state["value"],
                                                   params["value"])
-                new_params = dict(params, value=optax.apply_updates(params["value"], uv))
+                new_value = optax.apply_updates(params["value"], uv)
+                # the reference applies polyak to BOTH nets (rl/agents/ppo.py:264-275)
+                if cfg.polyak < 1.0:
+                    new_value = um.polyak_average(new_value, params["value"],
+                                                  cfg.polyak)
+                new_params = dict(params, value=new_value)
                 opt_d = opt_state["dynamics"]
                 if cfg.update_dynamics:
                     ud, opt_d = self.dynamics_opt.update(g_dyn, opt_state["dynamics"],

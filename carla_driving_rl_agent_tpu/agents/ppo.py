@@ -222,8 +222,12 @@ class PPOAgent(Agent):
                 if cfg.clip_norm[1]:
                     g = um.clip_gradients(g, cfg.clip_norm[1])
                 uv, ov = self.value_opt.update(g, opt_state["value"], params["value"])
-                new_params = dict(params,
-                                  value=optax.apply_updates(params["value"], uv))
+                new_value = optax.apply_updates(params["value"], uv)
+                # the reference applies polyak to BOTH nets (rl/agents/ppo.py:264-275)
+                if cfg.polyak < 1.0:
+                    new_value = um.polyak_average(new_value, params["value"],
+                                                  cfg.polyak)
+                new_params = dict(params, value=new_value)
                 return (new_params, dict(opt_state, value=ov)), dict(loss_value=loss)
 
             (params, opt_state), v_m = jax.lax.scan(value_mb, (params, opt_state),

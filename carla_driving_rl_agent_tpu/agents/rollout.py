@@ -130,7 +130,16 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
     Sub-steps following a mid-block auto-reset record the block-start value
     estimate as their baseline (<=block-1 steps of a fresh episode with a
     stale V). A baseline does not bias the policy gradient as long as it is
-    action-independent, which this one is.
+    action-independent, which this one is.  More broadly, those <=block-1
+    sub-steps record the PRE-reset episode's stack_ids/obs together with the
+    POST-reset episode's rewards/term flags — an obs/reward mismatch, not
+    just a stale baseline: the policy-gradient term for those transitions
+    conditions on an observation that does not describe the world the reward
+    came from.  This is bounded to <=(block-1)/episode_length of transitions
+    per episode boundary (<0.6% at block=4, 512-step episodes), matches the
+    zero-stack episode starts the reference itself trains on
+    (core/carla_env.py:323-325), and the path is opt-in
+    (rollout_block=False default).
     """
     block = block_size or env.config.past_obs_freq
     assert num_steps % block == 0, (num_steps, block)

@@ -361,11 +361,25 @@ def _eval_stage(mode: str, traffic: str, steps: int, trials: int,
         # match the checkpoint it was trained with — read it back from the
         # saved config.json (CARLAgent.serialize_config)
         net_spec = {}
-        cfg_path = os.path.join("weights", weights, "config.json")
+        # resolve against the repo root, not the cwd: a sharp-trained
+        # checkpoint (preact_floor guard) evaluated from elsewhere must not
+        # silently run the unguarded head (advisor round-1 finding)
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        cfg_path = os.path.join(repo_root, "weights", weights, "config.json")
+        if not os.path.exists(cfg_path):
+            cfg_path = os.path.join("weights", weights, "config.json")
         if os.path.exists(cfg_path):
             import json as _json
             with open(cfg_path) as f:
                 net_spec = _json.load(f).get("network", {}) or {}
+        else:
+            import warnings
+            warnings.warn(
+                f"_eval_stage: no config.json under weights/{weights}; "
+                f"evaluating with the default network spec — a checkpoint "
+                f"trained with structural overrides (e.g. preact_floor) "
+                f"would load into the wrong architecture.")
         agent = define_agent(batch_size=64, num_envs=num_envs or max(8, trials),
                              rollout_steps=8, name=weights, load=True,
                              load_full=True, seed=42, aug_intensity=0.0,

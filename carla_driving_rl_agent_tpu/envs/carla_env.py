@@ -138,11 +138,17 @@ class CARLAEnv:
     @property
     def observation_space(self) -> spaces.Dict:
         n = self.params.num_waypoints_for_feature
+        extra = {}
+        if self.config.cameras == 1:
+            # OneCamera base-env keys (reference environment.py:840-859)
+            extra = dict(past_control=spaces.Box(low=-1.0, high=1.0, shape=(4,)),
+                         command=spaces.Box(low=0.0, high=1.0, shape=(7,)))
         return spaces.Dict(
             road=spaces.Box(low=0.0, high=1.0, shape=(9,)),
             vehicle=spaces.Box(low=0.0, high=1.0, shape=(4,)),
             image=spaces.Box(low=0.0, high=1.0, shape=self.config.image_shape),
             navigation=spaces.Box(low=0.0, high=25.0, shape=(n,)),
+            **extra,
         )
 
     @property
@@ -169,27 +175,31 @@ class CARLAEnv:
             veh_active=world.npc.veh_active,
             ped_xy=world.npc.ped_xy, ped_active=world.npc.ped_active,
             weather=self.weather_params[world.weather_id],
+            road_half=self.town.road_half[world.town_id],
         )
         if cfg.cameras == 1:
             # OneCamera variant: front view only (reference environment.py:837)
             ke, kb, ka, div = rasterizer.QUALITY[cfg.render_quality]
-            img = rasterizer.render_view(
+            out = rasterizer.render_view(
                 inputs, jnp.asarray(0.0), height=cfg.image_height // div,
                 width=cfg.image_width // div, k_edges=ke, k_buildings=kb,
-                k_actors=ka)
+                k_actors=ka, return_depth=cfg.stack_depth)
+            if cfg.stack_depth:
+                # front-camera log-depth as channel 4
+                # (reference core/carla_env.py:271-288)
+                view, depth = out
+                img = jnp.concatenate(
+                    [view, rasterizer.depth_to_u8(depth)[..., None]], axis=-1)
+            else:
+                img = out
             if div > 1:
                 img = jnp.repeat(jnp.repeat(img, div, axis=0), div, axis=1)
             img = img.astype(jnp.uint8)
         else:
             img = rasterizer.render_cameras(inputs, height=cfg.image_height,
                                             width=cfg.image_width,
-                                            quality=cfg.render_quality)
-        if cfg.stack_depth:
-            # the reference appends a log-depth channel rendered from the
-            # front depth camera (core/carla_env.py:271-288); a flat proxy
-            # channel is used here (full per-pixel depth available on demand)
-            depth = jnp.zeros(cfg.image_shape[:2] + (1,), jnp.uint8)
-            img = jnp.concatenate([img, depth], axis=-1)
+                                            quality=cfg.render_quality,
+                                            return_depth=cfg.stack_depth)
         return img
 
     def _render_inputs(self, world: WorldState):
@@ -205,6 +215,7 @@ class CARLAEnv:
             veh_active=world.npc.veh_active,
             ped_xy=world.npc.ped_xy, ped_active=world.npc.ped_active,
             weather=self.weather_params[world.weather_id],
+            road_half=self.town.road_half[world.town_id],
         )
 
     def _render_frame_pallas(self, world: WorldState) -> jax.Array:
@@ -213,14 +224,11 @@ class CARLAEnv:
         from carla_driving_rl_agent_tpu.ops import rasterizer_pallas as RP
         cfg = self.config
         interpret = jax.default_backend() != "tpu"
-        img = RP.render_cameras_pallas(self._render_inputs(world),
-                                       height=cfg.image_height,
-                                       width=cfg.image_width,
-                                       interpret=interpret)
-        if cfg.stack_depth:
-            depth = jnp.zeros(cfg.image_shape[:2] + (1,), jnp.uint8)
-            img = jnp.concatenate([img, depth], axis=-1)
-        return img
+        return RP.render_cameras_pallas(self._render_inputs(world),
+                                        height=cfg.image_height,
+                                        width=cfg.image_width,
+                                        interpret=interpret,
+                                        return_depth=cfg.stack_depth)
 
     def frame_obs(self, world: WorldState):
         vec = world_mod.vector_observation(world, self.params, self.town, self.routes)
@@ -259,10 +267,23 @@ class CARLAEnv:
 
     def observe(self, state: EnvState) -> dict:
         """Stacked observation dict, image scaled to [0,1]
-        (reference core/carla_env.py:301-321)."""
-        return dict(image=state.image_stack.astype(jnp.float32) / 255.0,
-                    road=state.road_stack, vehicle=state.vehicle_stack,
-                    navigation=state.nav_stack)
+        (reference core/carla_env.py:301-321).
+
+        The OneCamera (cameras=1) variant additionally exposes the base-env
+        keys `past_control` (throttle, brake, steer, reverse — reference
+        environment.py:1103-1104) and `command` (current RoadOption one-hot,
+        environment.py:1092-1093); both are current-frame vectors derived
+        from the world state, no extra stacks."""
+        obs = dict(image=state.image_stack.astype(jnp.float32) / 255.0,
+                   road=state.road_stack, vehicle=state.vehicle_stack,
+                   navigation=state.nav_stack)
+        if self.config.cameras == 1:
+            w = state.world
+            obs["past_control"] = jnp.stack(
+                [w.throttle, w.brake, w.steer, jnp.zeros(())])
+            opt = self.routes.option[w.town_id, w.route_id, w.wp_idx]
+            obs["command"] = jax.nn.one_hot(opt, 7)
+        return obs
 
     def step(self, state: EnvState, action: jax.Array,
              frame_id: jax.Array | int = -1):

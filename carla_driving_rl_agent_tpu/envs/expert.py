@@ -21,10 +21,15 @@ import jax.numpy as jnp
 from carla_driving_rl_agent_tpu.envs.world import WorldState, WorldParams, TownDev, RoutesDev
 from carla_driving_rl_agent_tpu.envs import traffic
 
+# speed_decrease (km/h under the lead in the TTC band) mirrors the
+# reference profiles' values (types_behavior.py: 12/10/8)
 BEHAVIORS = dict(
-    cautious=dict(speed_factor=0.6, hazard_distance=24.0, brake_gain=1.4),
-    normal=dict(speed_factor=0.8, hazard_distance=18.0, brake_gain=1.0),
-    aggressive=dict(speed_factor=1.0, hazard_distance=12.0, brake_gain=0.8),
+    cautious=dict(speed_factor=0.6, hazard_distance=24.0, brake_gain=1.4,
+                  speed_decrease=12.0),
+    normal=dict(speed_factor=0.8, hazard_distance=18.0, brake_gain=1.0,
+                speed_decrease=10.0),
+    aggressive=dict(speed_factor=1.0, hazard_distance=12.0, brake_gain=0.8,
+                    speed_decrease=8.0),
 )
 
 STEER_GAIN = 1.8
@@ -58,14 +63,24 @@ def expert_action(state: WorldState, params: WorldParams, town: TownDev,
     fwd = jnp.stack([jnp.cos(state.yaw), jnp.sin(state.yaw)])
     all_xy = jnp.concatenate([state.npc.veh_xy, state.npc.ped_xy], axis=0)
     all_on = jnp.concatenate([state.npc.veh_active, state.npc.ped_active], axis=0)
+    all_v = jnp.concatenate([state.npc.veh_v,
+                             jnp.zeros(state.npc.ped_xy.shape[0])], axis=0)
     rel = all_xy - pos[None]
     d = jnp.linalg.norm(rel, axis=-1)
     cos_a = (rel @ fwd) / jnp.maximum(d, 1e-3)
     in_cone = (cos_a > 0.8) & (d > 0.1) & (all_on > 0)
-    d_hazard = jnp.min(jnp.where(in_cone, d, 1e6))
+    d_masked = jnp.where(in_cone, d, 1e6)
+    lead_idx = jnp.argmin(d_masked)
+    d_hazard = d_masked[lead_idx]
+    lead_v = jnp.where(d_hazard < 1e5, all_v[lead_idx], 0.0)
+    # TTC-banded car-following (behavior_agent.py:331-361) combined with the
+    # proportional hazard ramp (take the more cautious of the two)
+    ttc_kmh = traffic.ttc_target_speed(
+        state.v, lead_v, d_hazard, desired,
+        speed_decrease_kmh=prof["speed_decrease"])
     hd = prof["hazard_distance"]
     slow = jnp.clip((d_hazard - 5.0) / hd, 0.0, 1.0)
-    desired = desired * slow
+    desired = jnp.minimum(desired * slow, ttc_kmh)
 
     # red light stop (agent.py:74-110), unless ignored (training collection
     # default — reference core/learning.py:196-212 ignore_traffic_light=True)

@@ -21,9 +21,15 @@ class FakeCARLAEnvironment:
         self.time_horizon = time_horizon
         self.num_waypoints = num_waypoints
         self.action_space = spaces.Box(low=-1.0, high=1.0, shape=(2,))
+        # past_control (throttle, brake, steer, reverse) + command (RoadOption
+        # one-hot) mirror the reference fake env's extra keys
+        # (core/carla_agent.py:36-43); the network indexes only the keys it
+        # consumes, so the extra entries are inert for the flagship spec.
         self.observation_space = spaces.Dict(
             road=spaces.Box(low=0.0, high=1.0, shape=(9,)),
             vehicle=spaces.Box(low=0.0, high=1.0, shape=(4,)),
+            past_control=spaces.Box(low=-1.0, high=1.0, shape=(4,)),
+            command=spaces.Box(low=0.0, high=1.0, shape=(7,)),
             image=spaces.Box(low=-1.0, high=1.0, shape=image_shape),
             navigation=spaces.Box(low=0.0, high=25.0, shape=(num_waypoints,)),
         )

@@ -56,9 +56,25 @@ class RouteBank:
         return self.xy.shape[0]
 
 
+def _lateral_neighbors(town: TownData, lane: int) -> List[int]:
+    """Adjacent same-direction lanes reachable by a lane change (multi-lane
+    towns; empty on single-lane towns)."""
+    out = []
+    if getattr(town, "lane_left", None) is not None:
+        for arr in (town.lane_left, town.lane_right):
+            lj = int(arr[lane])
+            if lj >= 0:
+                out.append(lj)
+    return out
+
+
 def _astar_lanes(town: TownData, src_lane: int, dst_lane: int) -> Optional[List[int]]:
     """A* over lane graph; nodes are lane ids, cost = lane length, heuristic =
-    L2 between lane endpoints (reference `navigation/route_planner.py:221-247`)."""
+    L2 between lane endpoints (reference `navigation/route_planner.py:221-247`).
+
+    Lateral (lane-change) edges between parallel lanes carry zero cost,
+    mirroring the reference's `_lane_change_link`
+    (`navigation/route_planner.py:174-219`)."""
     if src_lane == dst_lane:
         return [src_lane]
     goal_xy = town.wp_xy[town.lane_first_wp[dst_lane]]
@@ -78,8 +94,11 @@ def _astar_lanes(town: TownData, src_lane: int, dst_lane: int) -> Optional[List[
             return path[::-1]
         if g > gscore.get(lane, np.inf):
             continue
-        for nxt in town.lane_successors[lane]:
-            ng = g + float(town.lane_length[nxt])
+        succs = [(nxt, float(town.lane_length[nxt]))
+                 for nxt in town.lane_successors[lane]]
+        succs += [(nxt, 0.0) for nxt in _lateral_neighbors(town, lane)]
+        for nxt, cost in succs:
+            ng = g + cost
             if ng < gscore.get(nxt, np.inf):
                 gscore[nxt] = ng
                 came[nxt] = lane
@@ -99,7 +118,11 @@ def _turn_option(yaw_in: float, yaw_out: float, threshold_deg: float = 35.0) -> 
 
 def trace_route(town: TownData, origin_wp: int, dest_wp: int) -> Optional[dict]:
     """Plan a dense route origin->destination, returning waypoint arrays with
-    RoadOption annotations (reference `navigation/route_planner.py:384-436`)."""
+    RoadOption annotations (reference `navigation/route_planner.py:384-436`).
+
+    Lateral hops in the lane path become a short diagonal blend annotated
+    CHANGELANELEFT/RIGHT (reference `route_planner.py:449-478` emits the
+    change option and continues on the target lane)."""
     src_lane = int(town.wp_lane[origin_wp])
     dst_lane = int(town.wp_lane[dest_wp])
     lane_path = _astar_lanes(town, src_lane, dst_lane)
@@ -107,16 +130,46 @@ def trace_route(town: TownData, origin_wp: int, dest_wp: int) -> Optional[dict]:
         return None
 
     xs, yaws, opts = [], [], []
+    start = None   # wp index to enter the current lane at (None = lane start)
     for i, lane in enumerate(lane_path):
         f, l = int(town.lane_first_wp[lane]), int(town.lane_last_wp[lane])
         if i == 0:
             f = max(f, origin_wp)
+        s = f if start is None else max(f, min(start, l))
+        start = None
+        end = l
         if lane == dst_lane and i == len(lane_path) - 1:
-            l = min(l, dest_wp)
-        if l < f:
+            end = min(l, dest_wp)
+        nxt = lane_path[i + 1] if i + 1 < len(lane_path) else None
+        if nxt is not None and nxt in _lateral_neighbors(town, lane):
+            # lane change: follow briefly, then blend diagonally onto `nxt`
+            change_at = min(s + 2, end)
+            if change_at > s:
+                xs.append(town.wp_xy[s:change_at])
+                yaws.append(town.wp_yaw[s:change_at])
+                opts.append(np.full(change_at - s, RO_LANE_FOLLOW, np.int32))
+            is_left = int(town.lane_left[lane]) == nxt
+            mapper = town.wp_left if is_left else town.wp_right
+            tgt = int(mapper[change_at])
+            if tgt < 0:
+                return None   # inconsistent lateral adjacency
+            tgt_ahead = min(tgt + 8, int(town.lane_last_wp[nxt]))  # ~15 m
+            p0, p1 = town.wp_xy[change_at], town.wp_xy[tgt_ahead]
+            n = max(3, int(round(float(np.linalg.norm(p1 - p0)) / 2.0)) + 1)
+            t = np.linspace(0.0, 1.0, n)[:-1, None]  # arrival point joins nxt
+            blend = (p0[None] * (1 - t) + p1[None] * t).astype(np.float32)
+            d = p1 - p0
+            byaw = np.full(len(blend), float(np.arctan2(d[1], d[0])), np.float32)
+            xs.append(blend)
+            yaws.append(byaw)
+            opts.append(np.full(len(blend),
+                                RO_CL_LEFT if is_left else RO_CL_RIGHT, np.int32))
+            start = tgt_ahead
             continue
-        seg_xy = town.wp_xy[f:l + 1]
-        seg_yaw = town.wp_yaw[f:l + 1]
+        if end < s:
+            continue
+        seg_xy = town.wp_xy[s:end + 1]
+        seg_yaw = town.wp_yaw[s:end + 1]
         is_connector = bool(town.lane_src[lane] == town.lane_dst[lane])
         if is_connector and len(seg_yaw) > 0:
             opt = _turn_option(float(seg_yaw[0]), float(seg_yaw[-1]))
@@ -145,6 +198,13 @@ def build_route_bank(town: TownData, num_routes: int, max_len: int = 512,
     the reference's random destination at each reset
     (`rl/environments/carla/environment.py:487-529`).
     """
+    has_lateral = (getattr(town, "lane_left", None) is not None
+                   and bool(np.any(town.lane_left >= 0)))
+    if use_native and has_lateral:
+        # the native A* has no lateral (lane-change) edges yet; multi-lane
+        # towns (Town04/06) must plan through the python planner so routes
+        # can contain CHANGELANELEFT/RIGHT
+        use_native = False
     if use_native:
         try:
             from carla_driving_rl_agent_tpu import native

@@ -101,6 +101,9 @@ class Dict(Space):
     def __getitem__(self, k):
         return self.spaces[k]
 
+    def __contains__(self, k):
+        return k in self.spaces
+
 
 def space_to_flat_spec(space: Space, name: str = "state") -> DictT[str, tuple]:
     """Flatten a (possibly nested) space into {name: shape} like the

@@ -9,9 +9,12 @@ Here each town is generated procedurally from its name's seed as:
     (the DAO's `sampling_resolution`), with successor links across junctions,
   * spawn points along lanes (mirroring `map.get_spawn_points()`),
   * traffic-light cycles per junction,
-  * a semantic texture (uint8 class map over the town extent) consumed by the
-    camera rasterizer, plus building boxes for the above-horizon pass,
-  * a distance-to-road field used for off-road ("other" obstacle) collisions.
+  * building boxes consumed by the camera rasterizer's above-horizon pass,
+  * a semantic texture (uint8 class map) and a distance-to-road field — both
+    HOST-ONLY artifacts kept for visualization/verification (tests assert
+    against them): the rasterizer classifies pixels analytically from road
+    segments and the off-road collision check uses exact segment distance
+    (world.py), so neither array is uploaded to the device.
 
 All eight evaluation towns (Town01..Town07, Town10) exist with different
 sizes/topologies.  Arrays are padded to a common shape and stacked into a
@@ -44,17 +47,22 @@ CLASS_CROSSING = 5
 
 MAX_SUCCESSORS = 3
 
-# town name -> (blocks_x, blocks_y, block_size, drop_fraction, speed_limit kmh)
+# town name -> (blocks_x, blocks_y, block_size, drop_fraction, speed_limit kmh,
+#               lanes_per_direction)
+# Town04/Town06 are the reference's multi-lane highway towns (CARLA assets
+# with 2+ lane directed roads) — the real generalization axis of the
+# 48-scenario protocol; their roads here get two lanes per direction with
+# lane-change machinery (reference navigation/route_planner.py:174-219).
 TOWN_SPECS = {
-    "Town01": (4, 3, 90.0, 0.10, 30.0),
-    "Town02": (3, 3, 80.0, 0.05, 30.0),
-    "Town03": (5, 4, 100.0, 0.15, 30.0),
-    "Town04": (5, 5, 110.0, 0.20, 40.0),
-    "Town05": (5, 4, 95.0, 0.12, 30.0),
-    "Town06": (6, 3, 105.0, 0.18, 40.0),
-    "Town07": (3, 4, 85.0, 0.25, 30.0),
-    "Town10": (4, 4, 90.0, 0.08, 30.0),
-    "Town10HD": (4, 4, 90.0, 0.08, 30.0),
+    "Town01": (4, 3, 90.0, 0.10, 30.0, 1),
+    "Town02": (3, 3, 80.0, 0.05, 30.0, 1),
+    "Town03": (5, 4, 100.0, 0.15, 30.0, 1),
+    "Town04": (5, 5, 110.0, 0.20, 40.0, 2),
+    "Town05": (5, 4, 95.0, 0.12, 30.0, 1),
+    "Town06": (6, 3, 105.0, 0.18, 40.0, 2),
+    "Town07": (3, 4, 85.0, 0.25, 30.0, 1),
+    "Town10": (4, 4, 90.0, 0.08, 30.0, 1),
+    "Town10HD": (4, 4, 90.0, 0.08, 30.0, 1),
 }
 
 
@@ -69,6 +77,7 @@ class Lane:
     dst: int
     points: np.ndarray        # (n, 2) dense polyline incl. endpoints
     yaws: np.ndarray          # (n,)
+    lane_k: int = 0           # lane index within its direction (0 = innermost)
 
 
 @dataclass
@@ -109,6 +118,13 @@ class TownData:
     buildings: np.ndarray                # (B, 5) cx, cy, half_w, half_h, height
     edges_xy: np.ndarray = None          # (E, 4) road centerline segments x0,y0,x1,y1
     nodes_xy: np.ndarray = field(default=None)
+    # lateral lane adjacency (multi-lane roads; -1 = no neighbor).  "left" is
+    # toward the road centerline, "right" toward the curb (right-hand traffic)
+    lane_left: np.ndarray = None         # (L,)
+    lane_right: np.ndarray = None        # (L,)
+    wp_left: np.ndarray = None           # (N,) nearest wp on the left-neighbor lane
+    wp_right: np.ndarray = None          # (N,) nearest wp on the right-neighbor lane
+    road_half: float = LANE_WIDTH + 0.3  # road band half-width (render/off-road)
 
 
 def _build_grid_graph(rng: np.random.Generator, nx: int, ny: int, block: float,
@@ -222,14 +238,17 @@ def _polyline_yaws(points: np.ndarray) -> np.ndarray:
 def build_town(name: str) -> TownData:
     if name not in TOWN_SPECS:
         raise ValueError(f"Unknown town {name!r}; one of {sorted(TOWN_SPECS)}")
-    nx, ny, block, drop, speed_limit = TOWN_SPECS[name]
+    nx, ny, block, drop, speed_limit, lanes_per_dir = TOWN_SPECS[name]
     rng = np.random.default_rng(_seed_from_name(name))
     nodes, edges = _build_grid_graph(rng, nx, ny, block, drop)
 
     half = LANE_WIDTH / 2.0
+    road_half = lanes_per_dir * LANE_WIDTH + 0.3
 
-    # Bowed centerline per undirected edge (curved roads), then two directed
-    # lanes offset to their right of it (right-hand traffic).
+    # Bowed centerline per undirected edge (curved roads), then lanes_per_dir
+    # directed lanes offset to the right of it per direction (right-hand
+    # traffic): lane k's center sits at (k + 0.5) * LANE_WIDTH right of the
+    # road centerline, k=0 innermost (next to the center marking).
     bows = rng.uniform(-MAX_BOW_FRAC, MAX_BOW_FRAC, size=len(edges))
     centerlines: List[np.ndarray] = []
     lanes: List[Lane] = []
@@ -239,12 +258,25 @@ def build_town(name: str) -> TownData:
         centerlines.append(center)
         for direction in (1, -1):
             c = center if direction == 1 else center[::-1]
-            pts = _offset_trimmed(c, half, JUNCTION_RADIUS * 0.8)
             src, dst = (a, b) if direction == 1 else (b, a)
-            lanes.append(Lane(src=src, dst=dst, points=pts,
-                              yaws=_polyline_yaws(pts)))
+            for k in range(lanes_per_dir):
+                pts = _offset_trimmed(c, half + k * LANE_WIDTH,
+                                      JUNCTION_RADIUS * 0.8)
+                lanes.append(Lane(src=src, dst=dst, points=pts,
+                                  yaws=_polyline_yaws(pts), lane_k=k))
 
-    # lane successors: lanes leaving lane.dst, excluding the U-turn back to src
+    # lateral adjacency within one (edge, direction) group: left = toward the
+    # centerline (k-1), right = toward the curb (k+1)
+    lat_left: Dict[int, int] = {}
+    lat_right: Dict[int, int] = {}
+    for li, lane in enumerate(lanes):
+        if lane.lane_k > 0:
+            lat_left[li] = li - 1
+            lat_right[li - 1] = li
+
+    # lane successors: lanes leaving lane.dst, excluding the U-turn back to
+    # src; prefer the successor lane with the SAME lane index (no implicit
+    # lane change across a junction)
     out_lanes: Dict[int, List[int]] = {}
     for li, lane in enumerate(lanes):
         out_lanes.setdefault(lane.src, []).append(li)
@@ -253,6 +285,8 @@ def build_town(name: str) -> TownData:
         outs = [lj for lj in out_lanes.get(lane.dst, []) if lanes[lj].dst != lane.src]
         if not outs:  # dead end: allow the U-turn
             outs = [lj for lj in out_lanes.get(lane.dst, [])]
+        same_k = [lj for lj in outs if lanes[lj].lane_k == lane.lane_k]
+        outs = same_k if same_k else outs
         lane_successors.append(outs[:MAX_SUCCESSORS])
 
     # junction connector curves are appended to the SOURCE lane's polyline?
@@ -337,6 +371,31 @@ def build_town(name: str) -> TownData:
 
     wp_speed_limit = np.full(n_wp, speed_limit, np.float32)
 
+    # ---- lateral lane adjacency arrays (multi-lane roads) ----
+    lane_left_arr = np.full(len(lanes), -1, np.int32)
+    lane_right_arr = np.full(len(lanes), -1, np.int32)
+    for li, lj in lat_left.items():
+        lane_left_arr[li] = lj
+    for li, lj in lat_right.items():
+        lane_right_arr[li] = lj
+    # per-waypoint lateral neighbor: nearest waypoint (by arclength fraction)
+    # on the adjacent lane — lets NPCs/expert/ego change lanes on-device
+    wp_left = np.full(n_wp, -1, np.int32)
+    wp_right = np.full(n_wp, -1, np.int32)
+
+    def _map_lateral(out, li, lj):
+        f_i, l_i = lane_first[li], lane_last[li]
+        f_j, l_j = lane_first[lj], lane_last[lj]
+        n_i, n_j = l_i - f_i + 1, l_j - f_j + 1
+        frac = np.linspace(0.0, 1.0, n_i)
+        out[f_i:l_i + 1] = f_j + np.round(frac * (n_j - 1)).astype(np.int32)
+
+    for li in range(len(lanes)):
+        if lane_left_arr[li] >= 0:
+            _map_lateral(wp_left, li, int(lane_left_arr[li]))
+        if lane_right_arr[li] >= 0:
+            _map_lateral(wp_right, li, int(lane_right_arr[li]))
+
     # light phase offsets: deterministic per junction
     junction_phase = (rng.uniform(0.0, 1.0, size=len(nodes)) * 24.0).astype(np.float32)
 
@@ -369,8 +428,10 @@ def build_town(name: str) -> TownData:
     # ---- semantic texture + distance field + buildings ----
     width = float(nodes[:, 0].max() + 60.0)
     height = float(nodes[:, 1].max() + 60.0)
-    texture, tex_origin = _rasterize_town(nodes, segments, width, height, rng)
-    buildings = _make_buildings(rng, nodes, edges, nx, ny, block)
+    texture, tex_origin = _rasterize_town(nodes, segments, width, height, rng,
+                                          road_half=road_half)
+    buildings = _make_buildings(rng, nodes, edges, nx, ny, block,
+                                road_half=road_half)
     _stamp_buildings(texture, tex_origin, TEXTURE_RES, buildings)
 
     dist_field, dist_origin = _distance_field(segments, width, height)
@@ -395,6 +456,9 @@ def build_town(name: str) -> TownData:
         buildings=buildings,
         edges_xy=segments,
         nodes_xy=nodes.astype(np.float32),
+        lane_left=lane_left_arr, lane_right=lane_right_arr,
+        wp_left=wp_left, wp_right=wp_right,
+        road_half=road_half,
     )
 
 
@@ -402,7 +466,8 @@ def _polyline_length(points: np.ndarray) -> float:
     return float(np.linalg.norm(np.diff(points, axis=0), axis=1).sum())
 
 
-def _rasterize_town(nodes, segments, width, height, rng):
+def _rasterize_town(nodes, segments, width, height, rng,
+                    road_half=LANE_WIDTH + 0.3):
     th = int(round(height / TEXTURE_RES))
     tw = int(round(width / TEXTURE_RES))
     tex = np.full((th, tw), CLASS_TERRAIN, np.uint8)
@@ -413,7 +478,6 @@ def _rasterize_town(nodes, segments, width, height, rng):
     py = (ys + 0.5) * TEXTURE_RES
     pts = np.stack([px.ravel(), py.ravel()], axis=1)
 
-    road_half = LANE_WIDTH + 0.3          # two lanes + small shoulder
     side_out = road_half + SIDEWALK_WIDTH
 
     min_d = np.full(len(pts), np.inf, np.float32)
@@ -430,6 +494,9 @@ def _rasterize_town(nodes, segments, width, height, rng):
     # center line: dashed yellow-ish marking
     dashed = (np.floor(min_t / 2.0) % 2 == 0)
     tex_flat[(min_d < 0.15) & dashed] = CLASS_MARKING
+    # lane-divider dashes on multi-lane roads (between lanes k and k+1)
+    if road_half > LANE_WIDTH + 1.0:
+        tex_flat[(np.abs(min_d - LANE_WIDTH) < 0.12) & dashed] = CLASS_MARKING
     # outer edge solid markings
     tex_flat[(np.abs(min_d - (road_half - 0.2)) < 0.12)] = CLASS_MARKING
     # pedestrian crossings near junctions
@@ -450,11 +517,12 @@ def _point_segment_distance(pts, p0, p1):
     return d.astype(np.float32), (t * np.sqrt(L2)).astype(np.float32)
 
 
-def _make_buildings(rng, nodes, edges, nx, ny, block):
+def _make_buildings(rng, nodes, edges, nx, ny, block,
+                    road_half=LANE_WIDTH + 0.3):
     """1-3 rectangular buildings per city block interior (margin accounts
     for the maximum road bow)."""
     buildings = []
-    margin = LANE_WIDTH + SIDEWALK_WIDTH + 4.0 + MAX_BOW_FRAC * block
+    margin = road_half + SIDEWALK_WIDTH + 4.0 + MAX_BOW_FRAC * block
     edge_set = {tuple(sorted(e)) for e in edges}
 
     def nid(i, j):
@@ -528,6 +596,8 @@ class TownBank:
     wp_num_next: np.ndarray      # (T, Nmax)
     wp_junction_id: np.ndarray   # (T, Nmax)
     wp_dist_to_junction: np.ndarray  # (T, Nmax)
+    wp_left: np.ndarray          # (T, Nmax) lateral neighbor wp (-1 none)
+    wp_right: np.ndarray         # (T, Nmax)
     num_wp: np.ndarray           # (T,)
     junction_xy: np.ndarray      # (T, Jmax, 2)
     junction_phase: np.ndarray   # (T, Jmax)
@@ -545,6 +615,7 @@ class TownBank:
     edges_xy: np.ndarray         # (T, Emax, 4) road centerline segments
     num_edges: np.ndarray        # (T,)
     extent: np.ndarray           # (T, 2)
+    road_half: np.ndarray        # (T,) road band half-width (meters)
 
 
 def _pad_to(arr: np.ndarray, n: int, fill=0):
@@ -582,6 +653,8 @@ def build_town_bank(names: List[str]) -> TownBank:
         wp_num_next=np.stack([_pad_to(t.wp_num_next, n_wp) for t in towns]),
         wp_junction_id=np.stack([_pad_to(t.wp_junction_id, n_wp, -1) for t in towns]),
         wp_dist_to_junction=np.stack([_pad_to(t.wp_dist_to_junction, n_wp, 1e9) for t in towns]),
+        wp_left=np.stack([_pad_to(t.wp_left, n_wp, -1) for t in towns]),
+        wp_right=np.stack([_pad_to(t.wp_right, n_wp, -1) for t in towns]),
         num_wp=np.asarray([len(t.wp_xy) for t in towns], np.int32),
         junction_xy=np.stack([_pad_to(t.junction_xy, n_j) for t in towns]),
         junction_phase=np.stack([_pad_to(t.junction_phase, n_j) for t in towns]),
@@ -599,4 +672,5 @@ def build_town_bank(names: List[str]) -> TownBank:
         edges_xy=np.stack([_pad_to(t.edges_xy, n_e, 1e6) for t in towns]),
         num_edges=np.asarray([len(t.edges_xy) for t in towns], np.int32),
         extent=np.asarray([t.extent for t in towns], np.float32),
+        road_half=np.asarray([t.road_half for t in towns], np.float32),
     )

@@ -35,6 +35,36 @@ PED_RADIUS = 0.35
 PED_SPEED_MIN, PED_SPEED_MAX = 0.8, 1.8
 
 
+# car-following constants (reference navigation/types_behavior.py:19-28,
+# 'Normal' profile; behavior_agent.py:331-361)
+SAFETY_TIME = 3.0          # s
+SPEED_DECREASE = 10.0      # km/h below the lead when too close
+MIN_FOLLOW_SPEED = 5.0     # km/h floor when matching the lead
+BRAKING_DISTANCE = 5.0     # m, emergency stop band (behavior_agent.py:392-404)
+
+
+def ttc_target_speed(own_v_ms, lead_v_ms, lead_d, cruise_kmh,
+                     speed_decrease_kmh: float = SPEED_DECREASE,
+                     safety_time: float = SAFETY_TIME,
+                     braking_distance: float = BRAKING_DISTANCE):
+    """Time-to-collision banded car-following target speed in km/h
+    (reference behavior_agent.py:331-361): under `safety_time` slow below
+    the lead; within 2x follow the lead's speed; otherwise cruise; emergency
+    stop inside `braking_distance` (run_step's braking band).
+
+    `own_v_ms`/`lead_v_ms` are m/s; the reference floors the closing speed
+    at 1 m/s so TTC stays finite."""
+    lead_kmh = lead_v_ms * MS_TO_KMH
+    delta_v = jnp.maximum(own_v_ms - lead_v_ms, 1.0)
+    ttc = lead_d / delta_v
+    slow = jnp.maximum(lead_kmh - speed_decrease_kmh, 0.0)
+    follow = jnp.maximum(MIN_FOLLOW_SPEED, lead_kmh)
+    target = jnp.where(ttc < safety_time, jnp.minimum(slow, cruise_kmh),
+                       jnp.where(ttc < 2.0 * safety_time,
+                                 jnp.minimum(follow, cruise_kmh), cruise_kmh))
+    return jnp.where(lead_d < braking_distance, 0.0, target)
+
+
 class NPCState(NamedTuple):
     veh_xy: jax.Array      # (V, 2)
     veh_yaw: jax.Array     # (V,)
@@ -142,22 +172,48 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     reached = dist_t < 2.5
     new_wp = jnp.where(reached, nxt, npc.veh_wp).astype(jnp.int32)
 
-    target = town.wp_xy[town_id, new_wp]
-    to_t = target - npc.veh_xy
-    desired_yaw = jnp.arctan2(to_t[:, 1], to_t[:, 0])
-    yaw_err = jnp.arctan2(jnp.sin(desired_yaw - npc.veh_yaw),
-                          jnp.cos(desired_yaw - npc.veh_yaw))
-
-    # hazard check: nearest actor in a forward cone (vehicles + ego + peds)
+    # hazard check: nearest actor in a forward cone (vehicles + ego + peds),
+    # with the lead's speed for TTC car-following
     fwd = jnp.stack([jnp.cos(npc.veh_yaw), jnp.sin(npc.veh_yaw)], axis=-1)
     all_xy = jnp.concatenate([npc.veh_xy, ego_xy[None], npc.ped_xy], axis=0)
     all_active = jnp.concatenate([npc.veh_active, jnp.ones(1), npc.ped_active], axis=0)
+    all_v = jnp.concatenate([npc.veh_v, ego_v[None],
+                             jnp.zeros(npc.ped_xy.shape[0])], axis=0)
     rel = all_xy[None, :, :] - npc.veh_xy[:, None, :]          # (V, A, 2)
     d_all = jnp.linalg.norm(rel, axis=-1)
     ahead = jnp.einsum("vad,vd->va", rel, fwd) > 0.0
     cos_ang = jnp.einsum("vad,vd->va", rel, fwd) / jnp.maximum(d_all, 1e-3)
     in_cone = ahead & (cos_ang > 0.85) & (d_all > 0.1)
-    d_hazard = jnp.min(jnp.where(in_cone & (all_active > 0), d_all, 1e6), axis=1)
+    d_masked = jnp.where(in_cone & (all_active > 0), d_all, 1e6)
+    lead_idx = jnp.argmin(d_masked, axis=1)
+    d_hazard = jnp.take_along_axis(d_masked, lead_idx[:, None], axis=1)[:, 0]
+    lead_v = jnp.where(d_hazard < 1e5, all_v[lead_idx], 0.0)
+
+    # overtake (TrafficManager-style lane change; reference expert's
+    # behavior_agent.py:189-223): a blocked NPC on a multi-lane road hops its
+    # target waypoint onto the adjacent lane when that lane is clear.
+    # Prefer left (the reference overtakes left first), fall back to right.
+    limit_kmh = town.wp_speed_limit[town_id, new_wp] * speed_factor
+    blocked = (d_hazard < 18.0) & (lead_v < 0.5 * npc.veh_v + 1.0)
+
+    def _clear(cand_wp):
+        cand_xy = town.wp_xy[town_id, jnp.maximum(cand_wp, 0)]
+        d_cand = jnp.linalg.norm(all_xy[None, :, :] - cand_xy[:, None, :], axis=-1)
+        return jnp.min(jnp.where(all_active[None, :] > 0, d_cand, 1e6),
+                       axis=1) > 8.0
+
+    wp_l = town.wp_left[town_id, new_wp]
+    wp_r = town.wp_right[town_id, new_wp]
+    go_left = blocked & (wp_l >= 0) & _clear(wp_l)
+    go_right = blocked & ~go_left & (wp_r >= 0) & _clear(wp_r)
+    new_wp = jnp.where(go_left, wp_l, jnp.where(go_right, wp_r, new_wp))
+    new_wp = new_wp.astype(jnp.int32)
+
+    target = town.wp_xy[town_id, new_wp]
+    to_t = target - npc.veh_xy
+    desired_yaw = jnp.arctan2(to_t[:, 1], to_t[:, 0])
+    yaw_err = jnp.arctan2(jnp.sin(desired_yaw - npc.veh_yaw),
+                          jnp.cos(desired_yaw - npc.veh_yaw))
 
     # red light stop: approaching a junction with a red/yellow light
     my_jid = town.wp_junction_id[town_id, new_wp]
@@ -165,8 +221,10 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     light = light_phase_state(sim_time, j_phase[jnp.maximum(my_jid, 0)], npc.veh_yaw)
     at_red = (my_jid >= 0) & (my_dj < 14.0) & (my_dj > 3.0) & (light != LIGHT_GREEN)
 
-    target_speed = town.wp_speed_limit[town_id, new_wp] / MS_TO_KMH * speed_factor
-    target_speed = jnp.where(d_hazard < 18.0, target_speed * (d_hazard - 6.0) / 12.0, target_speed)
+    # TTC-banded car-following (behavior_agent.py:331-361) replaces the old
+    # linear distance ramp
+    target_kmh = ttc_target_speed(npc.veh_v, lead_v, d_hazard, limit_kmh)
+    target_speed = target_kmh / MS_TO_KMH
     target_speed = jnp.where(at_red, 0.0, jnp.maximum(target_speed, 0.0))
 
     accel = jnp.clip((target_speed - npc.veh_v) / DT, -8.0, 3.0)

@@ -36,12 +36,13 @@ class TownDev(NamedTuple):
     """Device-resident stacked town arrays (see town.TownBank)."""
     wp_xy: jax.Array
     wp_yaw: jax.Array
-    wp_is_junction: jax.Array
     wp_speed_limit: jax.Array
     wp_next: jax.Array
     wp_num_next: jax.Array
     wp_junction_id: jax.Array
     wp_dist_to_junction: jax.Array
+    wp_left: jax.Array
+    wp_right: jax.Array
     num_wp: jax.Array
     junction_xy: jax.Array
     junction_phase: jax.Array
@@ -50,12 +51,12 @@ class TownDev(NamedTuple):
     spawn_yaw: jax.Array
     spawn_wp: jax.Array
     num_spawn: jax.Array
-    texture: jax.Array
     buildings: jax.Array
     num_buildings: jax.Array
     edges_xy: jax.Array
     num_edges: jax.Array
     extent: jax.Array
+    road_half: jax.Array
 
 
 class RoutesDev(NamedTuple):
@@ -131,12 +132,13 @@ def build_world_data(params: WorldParams) -> Tuple[TownDev, RoutesDev]:
     town = TownDev(
         wp_xy=jnp.asarray(bank.wp_xy),
         wp_yaw=jnp.asarray(bank.wp_yaw),
-        wp_is_junction=jnp.asarray(bank.wp_is_junction),
         wp_speed_limit=jnp.asarray(bank.wp_speed_limit),
         wp_next=jnp.asarray(bank.wp_next),
         wp_num_next=jnp.asarray(bank.wp_num_next),
         wp_junction_id=jnp.asarray(bank.wp_junction_id),
         wp_dist_to_junction=jnp.asarray(bank.wp_dist_to_junction),
+        wp_left=jnp.asarray(bank.wp_left),
+        wp_right=jnp.asarray(bank.wp_right),
         num_wp=jnp.asarray(bank.num_wp),
         junction_xy=jnp.asarray(bank.junction_xy),
         junction_phase=jnp.asarray(bank.junction_phase),
@@ -145,12 +147,12 @@ def build_world_data(params: WorldParams) -> Tuple[TownDev, RoutesDev]:
         spawn_yaw=jnp.asarray(bank.spawn_yaw),
         spawn_wp=jnp.asarray(bank.spawn_wp),
         num_spawn=jnp.asarray(bank.num_spawn),
-        texture=jnp.asarray(bank.texture),
         buildings=jnp.asarray(bank.buildings),
         num_buildings=jnp.asarray(bank.num_buildings),
         edges_xy=jnp.asarray(bank.edges_xy),
         num_edges=jnp.asarray(bank.num_edges),
         extent=jnp.asarray(bank.extent),
+        road_half=jnp.asarray(bank.road_half),
     )
     banks = []
     for name in params.town_names:
@@ -271,8 +273,12 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
 
     # --- collisions (core/carla_env.py:254-269) ---
     off_road = _off_road_distance(town, state.town_id, x, y)
+    # the configured threshold is calibrated for single-lane roads
+    # (road_half = 3.8); wider (multi-lane) towns shift it by the extra width
+    off_road_thr = (params.off_road_threshold
+                    + (town.road_half[state.town_id] - (town_mod.LANE_WIDTH + 0.3)))
     hit_veh, hit_ped, hit_other = traffic.collision_check(
-        pos, yaw, npc, off_road, off_road_threshold=params.off_road_threshold)
+        pos, yaw, npc, off_road, off_road_threshold=off_road_thr)
     pen = params.collision_penalty
     collision_penalty = (jnp.where(hit_ped, pen, 0.0)
                          + jnp.where(hit_veh, pen / 2.0, 0.0)

@@ -36,7 +36,8 @@ CAMERA_HEIGHT = 2.2
 CAMERA_YAWS = (jnp.pi / 2.0, 0.0, -jnp.pi / 2.0)   # left, front, right
 FOV_DEG = 90.0
 
-ROAD_HALF = 3.5 + 0.3          # envs/town.py road band half-width
+LANE_W = 3.5                   # envs/town.py LANE_WIDTH
+ROAD_HALF = LANE_W + 0.3       # single-lane road band half-width (default)
 SIDE_OUT = ROAD_HALF + 2.0     # + sidewalk
 JUNCTION_RADIUS = 9.0
 
@@ -72,6 +73,9 @@ class RenderInputs(NamedTuple):
     ped_xy: jax.Array         # (P, 2)
     ped_active: jax.Array     # (P,)
     weather: jax.Array        # (5,) sun, clouds, rain, wetness, fog
+    # road band half-width of this world's town: multi-lane towns
+    # (Town04/06) have wider roads + lane-divider dashes
+    road_half: jax.Array = jnp.asarray(ROAD_HALF, jnp.float32)
 
 
 def _pixel_rays(height: int, width: int):
@@ -147,11 +151,25 @@ def _shade_weather(rgb, depth, sky_rgb, weather, is_road):
     return rgb * (1 - fog_f[..., None]) + sky_rgb[None, None, :] * fog_f[..., None]
 
 
+def depth_to_u8(depth: jax.Array) -> jax.Array:
+    """Log-depth encoding as a [0, 255] channel.
+
+    The reference decodes CARLA's 24-bit depth to meters/1000 and stores
+    log1p(meters) (core/carla_env.py:271-288).  Deviation (documented): the
+    channel here is additionally scaled by log1p(MAX_DEPTH) to fit the uint8
+    stack, so after the /255 in CARLAEnv.observe it lands in [0, 1]."""
+    import math
+    d = jnp.clip(depth, 0.0, MAX_DEPTH)
+    return jnp.log1p(d) * (255.0 / math.log1p(MAX_DEPTH))
+
+
 def render_view(inputs: RenderInputs, cam_yaw_offset, height: int = 90,
                 width: int = 120, k_edges: int = K_EDGES,
                 k_buildings: int = K_BUILDINGS,
-                k_actors: int = K_ACTORS) -> jax.Array:
-    """Render one camera view -> (height, width, 3) float32 in [0, 255]."""
+                k_actors: int = K_ACTORS, return_depth: bool = False):
+    """Render one camera view -> (height, width, 3) float32 in [0, 255].
+    With return_depth, also returns the per-pixel ray depth in meters
+    (ground/building/actor composited, MAX_DEPTH at sky)."""
     dx_c, dy_c, dz = _pixel_rays(height, width)
     yaw = inputs.ego_yaw + cam_yaw_offset
     cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
@@ -175,11 +193,14 @@ def render_view(inputs: RenderInputs, cam_yaw_offset, height: int = 90,
     segs = inputs.edges_xy[e_idx]
     d_road, t_at = _min_seg_distance(gx, gy, segs)
 
+    rh = inputs.road_half
     dashed = jnp.floor(t_at / 2.0) % 2 == 0
     is_center_marking = (d_road < 0.15) & dashed
-    is_edge_marking = jnp.abs(d_road - (ROAD_HALF - 0.2)) < 0.12
-    is_road = d_road < ROAD_HALF
-    is_sidewalk = (d_road >= ROAD_HALF) & (d_road < SIDE_OUT)
+    # lane-divider dashes between lanes of one direction (multi-lane towns)
+    is_lane_div = (rh > LANE_W + 1.0) & (jnp.abs(d_road - LANE_W) < 0.12) & dashed
+    is_edge_marking = (jnp.abs(d_road - (rh - 0.2)) < 0.12) | is_lane_div
+    is_road = d_road < rh
+    is_sidewalk = (d_road >= rh) & (d_road < rh + 2.0)
 
     # crossings near junctions (striped bands, envs/town.py semantics)
     j_idx = _nearest_k(inputs.junctions, inputs.ego_xy,
@@ -239,7 +260,10 @@ def render_view(inputs: RenderInputs, cam_yaw_offset, height: int = 90,
                                    k_actors=k_actors)
 
     rgb = _shade_weather(rgb, depth, sky_rgb, inputs.weather, road_px)
-    return jnp.clip(rgb, 0.0, 255.0)
+    rgb = jnp.clip(rgb, 0.0, 255.0)
+    if return_depth:
+        return rgb, jnp.minimum(depth, MAX_DEPTH)
+    return rgb
 
 
 def _composite_actors(rgb, depth, inputs: RenderInputs, yaw, ex, ey, height, width,
@@ -291,18 +315,35 @@ def _composite_actors(rgb, depth, inputs: RenderInputs, yaw, ex, ey, height, wid
 
 
 def render_cameras(inputs: RenderInputs, height: int = 90, width: int = 120,
-                   quality: str = "full") -> jax.Array:
+                   quality: str = "full", return_depth: bool = False) -> jax.Array:
     """Render the three-camera concat image -> (H, 3W, 3) uint8
     (left | front | right, reference `environment.py:1259`).
 
     quality='fast' renders each view at half resolution with smaller
-    nearest-K budgets and upsamples (nearest) — ~8x fewer FLOPs."""
+    nearest-K budgets and upsamples (nearest) — ~8x fewer FLOPs.
+
+    With return_depth, a 4th log-depth channel is appended: front-view depth
+    in the middle third, zeros left/right — mirroring the reference's single
+    front depth camera padded to the 3-camera canvas
+    (core/carla_env.py:285-287)."""
     ke, kb, ka, div = QUALITY[quality]
     h, w = height // div, width // div
-    views = [render_view(inputs, jnp.asarray(y), height=h, width=w,
-                         k_edges=ke, k_buildings=kb, k_actors=ka)
-             for y in CAMERA_YAWS]
+    views = []
+    depth_front = None
+    for i, y in enumerate(CAMERA_YAWS):
+        out = render_view(inputs, jnp.asarray(y), height=h, width=w,
+                          k_edges=ke, k_buildings=kb, k_actors=ka,
+                          return_depth=(return_depth and i == 1))
+        if return_depth and i == 1:
+            view, depth_front = out
+        else:
+            view = out
+        views.append(view)
     img = jnp.concatenate(views, axis=1)
+    if return_depth:
+        zeros = jnp.zeros((h, w), jnp.float32)
+        dchan = jnp.concatenate([zeros, depth_to_u8(depth_front), zeros], axis=1)
+        img = jnp.concatenate([img, dchan[..., None]], axis=-1)
     if div > 1:
         img = jax.image.resize(img, (height, width * 3, img.shape[-1]),
                                method="nearest")

@@ -45,7 +45,8 @@ _O_JUNC = _O_BLD + K_BUILDINGS * 5      # 48 + 40 = 88
 _O_ACT = _O_JUNC + 4 * 2                # 96
 _O_EGO = _O_ACT + K_ACTORS * 8          # 96 + 64 = 160
 _O_WEATHER = _O_EGO + 4                 # ex, ey, cos_yaw, sin_yaw
-GEOM_SIZE = _O_WEATHER + 5              # 169
+_O_ROADHALF = _O_WEATHER + 5            # 169: per-town road band half-width
+GEOM_SIZE = _O_ROADHALF + 1             # 170
 GEOM_PAD = 176                          # pad to a multiple of 8
 
 
@@ -96,6 +97,7 @@ def _render_kernel(geom_ref, dx_ref, dy_ref, dz_ref, u_ref, v_ref, vid_ref,
     cos_y, sin_y = g(_O_EGO + 2), g(_O_EGO + 3)
     w_sun, w_cld = g(_O_WEATHER), g(_O_WEATHER + 1)
     w_rain, w_wet, w_fog = g(_O_WEATHER + 2), g(_O_WEATHER + 3), g(_O_WEATHER + 4)
+    rh = g(_O_ROADHALF)
 
     # rotate the LUT rays by the ego yaw
     dxc, dyc, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -129,9 +131,11 @@ def _render_kernel(geom_ref, dx_ref, dy_ref, dz_ref, u_ref, v_ref, vid_ref,
     d_road = jnp.sqrt(d2)
 
     dashed = jnp.floor(t_at / 2.0) % 2 == 0
-    marking = ((d_road < 0.15) & dashed) | (jnp.abs(d_road - (R.ROAD_HALF - 0.2)) < 0.12)
-    on_road = d_road < R.ROAD_HALF
-    sidewalk = (d_road >= R.ROAD_HALF) & (d_road < R.SIDE_OUT)
+    lane_div = (rh > R.LANE_W + 1.0) & (jnp.abs(d_road - R.LANE_W) < 0.12) & dashed
+    marking = (((d_road < 0.15) & dashed)
+               | (jnp.abs(d_road - (rh - 0.2)) < 0.12) | lane_div)
+    on_road = d_road < rh
+    sidewalk = (d_road >= rh) & (d_road < rh + 2.0)
 
     # ---- crossings near junctions ----
     dj2 = jnp.full(TILE, 1e12)
@@ -243,6 +247,11 @@ def _render_kernel(geom_ref, dx_ref, dy_ref, dz_ref, u_ref, v_ref, vid_ref,
     out_ref[0, 0] = jnp.clip(r_, 0.0, 255.0)
     out_ref[0, 1] = jnp.clip(g_, 0.0, 255.0)
     out_ref[0, 2] = jnp.clip(b_, 0.0, 255.0)
+    # log-depth plane (rasterizer.depth_to_u8 encoding); the front-view
+    # masking to mirror the reference's single depth camera happens in
+    # tile_to_image
+    d_m = jnp.minimum(depth, R.MAX_DEPTH)
+    out_ref[0, 3] = jnp.log1p(d_m) * np.float32(255.0 / np.log1p(R.MAX_DEPTH))
 
 
 def pack_geometry(inputs: R.RenderInputs) -> jax.Array:
@@ -297,16 +306,18 @@ def pack_geometry(inputs: R.RenderInputs) -> jax.Array:
         jnp.stack([inputs.ego_xy[0], inputs.ego_xy[1],
                    jnp.cos(inputs.ego_yaw), jnp.sin(inputs.ego_yaw)]),
         inputs.weather,
+        jnp.reshape(inputs.road_half, (1,)).astype(jnp.float32),
     ])
     return jnp.pad(geom, (0, GEOM_PAD - geom.shape[0])).astype(jnp.float32)
 
 
 def render_tile(geom: jax.Array, interpret: bool = False) -> jax.Array:
-    """Run the kernel for one world -> (3, 64, 128) float32 RGB planes."""
+    """Run the kernel for one world -> (4, 64, 128) float32 planes
+    (RGB + log-depth)."""
     lut = {k: jnp.asarray(v) for k, v in _lut_cached().items()}
     return pl.pallas_call(
         _render_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 3) + TILE, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, 4) + TILE, jnp.float32),
         in_specs=[
             pl.BlockSpec((1, GEOM_PAD), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -316,21 +327,28 @@ def render_tile(geom: jax.Array, interpret: bool = False) -> jax.Array:
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3) + TILE, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 4) + TILE, memory_space=pltpu.VMEM),
         interpret=interpret,
     )(geom[None], lut["dx"], lut["dy"], lut["dz"], lut["u"], lut["v"],
       lut["vid"])[0]
 
 
-def tile_to_image(planes: jax.Array, out_h: int = 90, out_w: int = 120) -> jax.Array:
-    """(3, 64, 128) planes -> (out_h, 3*out_w, 3) uint8 (2x nearest upsample).
+def tile_to_image(planes: jax.Array, out_h: int = 90, out_w: int = 120,
+                  with_depth: bool = False) -> jax.Array:
+    """(C, 64, 128) planes -> (out_h, 3*out_w, C) uint8 (2x nearest upsample).
 
     Uses repeats + one transpose instead of jax.image.resize (a gather) —
-    measured 4x faster at batch."""
-    flat = planes.reshape(3, TILE[0] * TILE[1])[:, :N_PIX]
-    img = flat.reshape(3, 3, VIEW_H, VIEW_W)           # (rgb, view, h, w)
-    img = jnp.transpose(img, (2, 1, 3, 0))             # (h, view, w, rgb)
-    img = img.reshape(VIEW_H, 3 * VIEW_W, 3)
+    measured 4x faster at batch.  With with_depth, the 4th (log-depth) plane
+    is kept for the FRONT view only (side views zeroed), matching the
+    reference's single front depth camera (core/carla_env.py:285-287)."""
+    c = 4 if with_depth else 3
+    flat = planes[:c].reshape(c, TILE[0] * TILE[1])[:, :N_PIX]
+    img = flat.reshape(c, 3, VIEW_H, VIEW_W)           # (chan, view, h, w)
+    if with_depth:
+        view_keep = jnp.asarray([0.0, 1.0, 0.0])       # front view only
+        img = img.at[3].mul(view_keep[:, None, None])
+    img = jnp.transpose(img, (2, 1, 3, 0))             # (h, view, w, chan)
+    img = img.reshape(VIEW_H, 3 * VIEW_W, c)
     ry = out_h // VIEW_H
     rx = out_w // VIEW_W
     if ry > 1:
@@ -341,8 +359,10 @@ def tile_to_image(planes: jax.Array, out_h: int = 90, out_w: int = 120) -> jax.A
 
 
 def render_cameras_pallas(inputs: R.RenderInputs, height: int = 90,
-                          width: int = 120, interpret: bool = False) -> jax.Array:
+                          width: int = 120, interpret: bool = False,
+                          return_depth: bool = False) -> jax.Array:
     """Drop-in replacement for rasterizer.render_cameras (single world)."""
     geom = pack_geometry(inputs)
     planes = render_tile(geom, interpret=interpret)
-    return tile_to_image(planes, out_h=height, out_w=width)
+    return tile_to_image(planes, out_h=height, out_w=width,
+                         with_depth=return_depth)

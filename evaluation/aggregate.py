@@ -71,9 +71,21 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("eval_dir")
     p.add_argument("-o", "--output", default="evaluation/evaluation.json")
+    p.add_argument("--weights", default=None,
+                   help="only aggregate files for this stage name; default: "
+                        "derived from the eval dir's parent (weights/<name>/"
+                        "evaluation layout)")
+    p.add_argument("--no-filter", action="store_true",
+                   help="aggregate every scenario JSON in the directory")
     args = p.parse_args()
-    result = aggregate(args.eval_dir,
-                       weights=os.path.basename(os.path.dirname(os.path.normpath(args.eval_dir))))
+    weights = None if args.no_filter else (
+        args.weights
+        or os.path.basename(os.path.dirname(os.path.normpath(args.eval_dir))))
+    result = aggregate(args.eval_dir, weights=weights)
+    if len(result) <= 1:
+        print(f"WARNING: filter weights={weights!r} matched zero scenario "
+              f"files in {args.eval_dir}; pass --weights/--no-filter "
+              f"if the directory is not laid out as weights/<name>/evaluation")
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "w") as f:
         json.dump(result, f, indent=2)

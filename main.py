@@ -14,10 +14,33 @@ Usage:
 """
 
 import argparse
+import atexit
 import shutil
 import os
+import sys
 
 from carla_driving_rl_agent_tpu.curriculum import stages as learning
+
+
+def acquire_run_lock(weights_dir: str):
+    """Pid-file lock: refuse to start a second trainer against the same
+    weights dir (round-1 postmortem: a failed `kill` left two trainers racing
+    whole-file checkpoint writes to one dir). Stale locks (dead pid) are
+    reclaimed; the lock is released atexit."""
+    os.makedirs(weights_dir, exist_ok=True)
+    lock_path = os.path.join(weights_dir, ".train.lock")
+    if os.path.exists(lock_path):
+        try:
+            old_pid = int(open(lock_path).read().strip())
+            os.kill(old_pid, 0)  # raises if dead
+            sys.exit(f"ERROR: {lock_path} held by live pid {old_pid}; "
+                     f"refusing to race it. Kill that process (and confirm "
+                     f"with ps) or remove the lock file.")
+        except (ValueError, ProcessLookupError, PermissionError):
+            pass  # stale or unreadable -> reclaim
+    with open(lock_path, "w") as f:
+        f.write(str(os.getpid()))
+    atexit.register(lambda: os.path.exists(lock_path) and os.remove(lock_path))
 
 # reference training configuration (main.py:49-91): 5 episodes x 512 steps
 # per epoch, batch 64, gamma/lambda in the agent defaults, 100 epochs/stage
@@ -169,6 +192,9 @@ if __name__ == "__main__":
     parser.add_argument("--weights-dir", default="weights")
     parser.add_argument("--trials", type=int, default=50)
     args = parser.parse_args()
+
+    if args.curriculum or args.standard or args.stage:
+        acquire_run_lock(args.weights_dir)
 
     if args.curriculum:
         run_curriculum(args.epochs, args.num_envs, block=args.block,

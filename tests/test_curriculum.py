@@ -137,3 +137,39 @@ class TestExpert:
         assert np.mean(sims) > 0.8, f"expert similarity {np.mean(sims):.2f}"
         assert np.mean(speeds) > 8.0, f"expert too slow {np.mean(speeds):.1f} km/h"
         assert total > 0.0
+
+    def test_expert_survives_dense_traffic(self):
+        """TTC car-following (traffic.ttc_target_speed) must keep the expert's
+        collision rate < 0.2 across 64 dense-traffic worlds (VERDICT done-
+        criterion; reference behavior_agent.py:331-361)."""
+        import jax
+        import jax.numpy as jnp
+        from carla_driving_rl_agent_tpu.envs import expert as ex
+        from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
+        from carla_driving_rl_agent_tpu.envs.world import WorldParams
+
+        env = CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town03",), num_routes=32,
+                              max_route_len=256, max_timesteps=256,
+                              num_vehicles=24, num_pedestrians=24,
+                              v_max=24, p_max=24),
+            image_height=48, image_width=32, render_mode="zeros"))
+        n = 64
+        states, _ = jax.jit(lambda k: env.reset_batch(k, n))(jax.random.PRNGKey(3))
+
+        def roll(states):
+            def body(carry, _):
+                states, coll = carry
+                acts = jax.vmap(lambda w: ex.expert_action(
+                    w, env.params, env.town, env.routes))(states.world)
+                states, _, reward, term, trunc, info = env.step_batch(states, acts)
+                # count a world as collided if any step collides in its FIRST
+                # episode (auto-reset would restart it)
+                coll = coll | (info["collision"] & (states.world.episode == 0))
+                return (states, coll), None
+            (states, coll), _ = jax.lax.scan(
+                body, (states, jnp.zeros((n,), bool)), None, length=200)
+            return coll
+        coll = jax.jit(roll)(states)
+        rate = float(coll.mean())
+        assert rate < 0.2, f"expert dense-traffic collision rate {rate:.2f}"

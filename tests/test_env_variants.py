@@ -75,3 +75,81 @@ class TestReverse:
                                          throttle_as_desired_speed=False,
                                          disable_reverse=True)
         assert float(control.reverse) == 0.0
+
+
+class TestOneCameraObsContract:
+    def test_past_control_and_command_keys(self):
+        """OneCamera base-env keys (reference environment.py:840-859,
+        1071-1133): past_control (4,) and command (RoadOption one-hot, 7)."""
+        env = make_env(cameras=1)
+        assert "past_control" in env.observation_space
+        assert "command" in env.observation_space
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs["past_control"].shape == (4,)
+        assert obs["command"].shape == (7,)
+        assert float(obs["command"].sum()) == pytest.approx(1.0)
+        state, obs, *_ = env.step(state, jnp.array([0.8, 0.1]))
+        # past_control reflects the applied control
+        assert float(obs["past_control"][0]) > 0.0  # throttle
+        # the three-camera flagship contract is unchanged
+        env3 = make_env(cameras=3)
+        assert "past_control" not in env3.observation_space
+        _, obs3 = env3.reset(jax.random.PRNGKey(0))
+        assert "command" not in obs3
+
+
+class TestMultiLaneTowns:
+    def test_town04_route_bank_contains_lane_changes(self):
+        """Town04/06 are multi-lane: the planner's zero-cost lateral edges
+        (reference navigation/route_planner.py:174-219) must surface
+        CHANGELANELEFT/RIGHT RoadOptions in planned routes."""
+        from carla_driving_rl_agent_tpu.envs import town as town_mod
+        from carla_driving_rl_agent_tpu.envs import route as route_mod
+        t4 = town_mod.get_town("Town04")
+        assert t4.road_half > town_mod.LANE_WIDTH + 1.0
+        assert np.any(t4.lane_left >= 0) and np.any(t4.lane_right >= 0)
+        bank = route_mod.build_route_bank(t4, num_routes=16, max_len=512, seed=7)
+        cl = (bank.option == route_mod.RO_CL_LEFT) | \
+             (bank.option == route_mod.RO_CL_RIGHT)
+        has = [bool(np.any(cl[i, :bank.length[i]])) for i in range(16)]
+        assert any(has), "no Town04 route contains a lane change"
+        # waypoint spacing stays dense through the change blends
+        for i in range(16):
+            L = int(bank.length[i])
+            d = np.linalg.norm(np.diff(bank.xy[i, :L], axis=0), axis=1)
+            assert d.max() < 8.0
+
+    def test_single_lane_towns_have_no_lateral_links(self):
+        from carla_driving_rl_agent_tpu.envs import town as town_mod
+        t2 = town_mod.get_town("Town02")
+        assert not np.any(t2.lane_left >= 0)
+        assert t2.road_half == pytest.approx(town_mod.LANE_WIDTH + 0.3)
+
+    def test_wp_lateral_mapping_is_consistent(self):
+        """wp_left/wp_right land on the adjacent lane at a nearby position."""
+        from carla_driving_rl_agent_tpu.envs import town as town_mod
+        t4 = town_mod.get_town("Town04")
+        idx = np.where(t4.wp_right >= 0)[0][:200]
+        tgt = t4.wp_right[idx]
+        # target wp belongs to the lane registered as the right neighbor
+        assert np.all(t4.wp_lane[tgt] == t4.lane_right[t4.wp_lane[idx]])
+        d = np.linalg.norm(t4.wp_xy[idx] - t4.wp_xy[tgt], axis=1)
+        assert d.max() < 2.0 * town_mod.LANE_WIDTH
+
+    def test_multilane_off_road_threshold_widened(self):
+        """Driving in the outer lane of a 2-lane road must NOT be off-road."""
+        cfg = CARLAEnvConfig(
+            world=WorldParams(town_names=("Town04",), num_routes=8,
+                              max_route_len=256, max_timesteps=32),
+            image_height=48, image_width=32, render_mode="zeros")
+        env = CARLAEnv(cfg)
+        from carla_driving_rl_agent_tpu.envs import town as town_mod, world as world_mod
+        t4 = town_mod.get_town("Town04")
+        # a waypoint on an outer (k=1) lane: distance to centerline ~5.25 m
+        outer = np.where((t4.wp_left >= 0))[0][50]   # has a left neighbor => k>0
+        x, y = t4.wp_xy[outer]
+        d = world_mod._off_road_distance(env.town, jnp.asarray(0), 
+                                         jnp.asarray(float(x)), jnp.asarray(float(y)))
+        thr = float(env.town.road_half[0]) + (5.5 - 3.8)
+        assert float(d) < thr, "outer lane counted as off-road"
+        assert float(d) > 3.8, "outer lane should be outside a single-lane band"

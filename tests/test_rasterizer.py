@@ -70,3 +70,43 @@ class TestPallasRenderer:
         geom = RP.pack_geometry(inputs)
         assert geom.shape == (RP.GEOM_PAD,)
         assert np.all(np.isfinite(np.asarray(geom)))
+
+
+class TestDepthChannel:
+    def test_xla_depth_channel_varies_with_geometry(self, inputs):
+        img = np.asarray(R.render_cameras(inputs, quality="full",
+                                          return_depth=True))
+        assert img.shape == (90, 360, 4)
+        depth = img[..., 3].astype(np.float32)
+        front = depth[:, 120:240]
+        # front view: real log-depth with structure (sky far, ground near)
+        assert front.std() > 5, "depth channel should vary with scene geometry"
+        assert front[:10].mean() > front[-10:].mean(), \
+            "sky rows must be farther than ground rows"
+        # side thirds zeroed (reference pads the single front depth camera)
+        assert depth[:, :120].max() == 0 and depth[:, 240:].max() == 0
+
+    def test_pallas_depth_matches_xla(self, inputs):
+        xla = np.asarray(R.render_cameras(inputs, quality="fast",
+                                          return_depth=True), np.int32)
+        pal = np.asarray(RP.render_cameras_pallas(inputs, interpret=True,
+                                                  return_depth=True), np.int32)
+        assert pal.shape == xla.shape == (90, 360, 4)
+        diff = np.abs(pal[..., 3] - xla[..., 3])
+        assert (diff <= 2).mean() > 0.99, f"depth mismatch {(diff > 2).mean():.4f}"
+
+    def test_env_stack_depth_plumbed(self):
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            CARLAEnv, CARLAEnvConfig)
+        from carla_driving_rl_agent_tpu.envs.world import WorldParams
+        env = CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02",), num_routes=4,
+                              max_route_len=64, max_timesteps=16,
+                              num_vehicles=0, num_pedestrians=0,
+                              v_max=1, p_max=1),
+            image_height=90, image_width=120, stack_depth=True,
+            render_mode="rasterizer", render_quality="fast"))
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs["image"].shape == (4, 90, 360, 4)
+        depth = np.asarray(obs["image"][-1, :, 120:240, 3])
+        assert depth.std() > 0.01, "stack_depth channel must be non-constant"
