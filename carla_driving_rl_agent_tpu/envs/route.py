@@ -198,13 +198,6 @@ def build_route_bank(town: TownData, num_routes: int, max_len: int = 512,
     the reference's random destination at each reset
     (`rl/environments/carla/environment.py:487-529`).
     """
-    has_lateral = (getattr(town, "lane_left", None) is not None
-                   and bool(np.any(town.lane_left >= 0)))
-    if use_native and has_lateral:
-        # the native A* has no lateral (lane-change) edges yet; multi-lane
-        # towns (Town04/06) must plan through the python planner so routes
-        # can contain CHANGELANELEFT/RIGHT
-        use_native = False
     if use_native:
         try:
             from carla_driving_rl_agent_tpu import native

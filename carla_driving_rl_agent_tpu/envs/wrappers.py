@@ -119,7 +119,7 @@ class CARLAPlayWrapper:
         self.env = env
 
     def play(self, controller: Optional[Callable] = None, timesteps: int = 512,
-             seed: int = 0) -> dict:
+             seed: int = 0, render: Optional[Callable] = None) -> dict:
         if controller is None:
             controller = lambda obs, t: np.asarray([0.3, 0.0], np.float32)
         key = jax.random.PRNGKey(seed)
@@ -130,9 +130,72 @@ class CARLAPlayWrapper:
             action = jnp.asarray(controller(jax.device_get(obs), t))
             state, obs, reward, term, trunc, info = step(state, action)
             total += float(reward)
+            if render is not None:
+                stop = render(np.asarray(jax.device_get(state.image_stack[-1])),
+                              jax.device_get(info))
+                if stop:
+                    break
             if bool(term) or bool(trunc):
                 break
         return dict(total_reward=total, timesteps=t + 1)
+
+    def keyboard(self, timesteps: int = 4096, seed: int = 0,
+                 scale: int = 3) -> dict:
+        """Keyboard teleop with a pygame HUD (reference
+        `CARLAPlayWrapper._parse_events` environment.py:568-664 and the HUD
+        blit :996-1028): W/UP = throttle, S/DOWN = brake (negative
+        throttle-as-desired-speed), A/D = steer, SPACE = center steering,
+        ESC/window-close = quit.  Raises a clear error when pygame is missing
+        (headless images); `play(controller=..., render=...)` is the
+        programmatic equivalent."""
+        try:
+            import pygame
+        except ImportError as e:
+            raise RuntimeError(
+                "keyboard teleop needs pygame (not in the headless image); "
+                "use play(controller=...) instead") from e
+
+        pygame.init()
+        h, w, _ = self.env.config.image_shape
+        screen = pygame.display.set_mode((w * scale, h * scale))
+        pygame.display.set_caption("CARLA-tpu teleop")
+        clock = pygame.time.Clock()
+        control = dict(throttle=0.0, steer=0.0, quit=False)
+
+        def controller(obs, t):
+            for event in pygame.event.get():
+                if event.type == pygame.QUIT or (
+                        event.type == pygame.KEYDOWN
+                        and event.key == pygame.K_ESCAPE):
+                    control["quit"] = True
+            keys = pygame.key.get_pressed()
+            thr = (1.0 if keys[pygame.K_w] or keys[pygame.K_UP] else
+                   -1.0 if keys[pygame.K_s] or keys[pygame.K_DOWN] else 0.0)
+            steer = control["steer"]
+            if keys[pygame.K_a] or keys[pygame.K_LEFT]:
+                steer = max(steer - 0.08, -1.0)
+            elif keys[pygame.K_d] or keys[pygame.K_RIGHT]:
+                steer = min(steer + 0.08, 1.0)
+            else:
+                steer *= 0.7   # self-centering
+            if keys[pygame.K_SPACE]:
+                steer = 0.0
+            control["steer"] = steer
+            return np.asarray([thr, steer], np.float32)
+
+        def render(frame, info):
+            rgb = np.repeat(np.repeat(frame[..., :3], scale, 0), scale, 1)
+            surf = pygame.surfarray.make_surface(np.transpose(rgb, (1, 0, 2)))
+            screen.blit(surf, (0, 0))
+            pygame.display.flip()
+            clock.tick(30)
+            return control["quit"]
+
+        try:
+            return self.play(controller=controller, timesteps=timesteps,
+                             seed=seed, render=render)
+        finally:
+            pygame.quit()
 
 
 class CARLABenchmark:

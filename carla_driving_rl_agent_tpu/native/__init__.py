@@ -44,7 +44,8 @@ def _ensure_built() -> bool:
     lib.rp_build_bank.restype = ctypes.c_int32
     lib.rp_build_bank.argtypes = [
         ctypes.c_int32, i32p, i32p, i32p, i32p, f32p, i32p, i32p,
-        f32p, f32p, i32p, i32p, ctypes.c_int32, i32p, ctypes.c_int32,
+        f32p, f32p, i32p, i32p, i32p, i32p, i32p,
+        i32p, ctypes.c_int32, i32p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
         f32p, f32p, i32p, i32p, i32p,
     ]
@@ -81,6 +82,10 @@ def build_route_bank_native(town, num_routes: int, max_len: int,
     wp_xy = np.ascontiguousarray(town.wp_xy, np.float32)
     wp_yaw = np.ascontiguousarray(town.wp_yaw, np.float32)
     wp_lane = np.ascontiguousarray(town.wp_lane, np.int32)
+    lane_left = np.ascontiguousarray(town.lane_left, np.int32)
+    lane_right = np.ascontiguousarray(town.lane_right, np.int32)
+    wp_left = np.ascontiguousarray(town.wp_left, np.int32)
+    wp_right = np.ascontiguousarray(town.wp_right, np.int32)
     spawn_wp = np.ascontiguousarray(town.spawn_wp, np.int32)
     lane_len = np.ascontiguousarray(town.lane_length, np.float32)
 
@@ -102,6 +107,8 @@ def build_route_bank_native(town, num_routes: int, max_len: int,
         _ptr(np.ascontiguousarray(town.lane_dst, np.int32), i32),
         _ptr(lane_len, f32), _ptr(succ, i32), _ptr(succ_off, i32),
         _ptr(wp_xy, f32), _ptr(wp_yaw, f32), _ptr(wp_lane, i32),
+        _ptr(lane_left, i32), _ptr(lane_right, i32),
+        _ptr(wp_left, i32), _ptr(wp_right, i32),
         _ptr(spawn_wp, i32), len(spawn_wp),
         _ptr(origins, i32) if origins is not None else None,
         len(origins) if origins is not None else 0,

@@ -22,7 +22,8 @@
 
 namespace {
 
-constexpr int RO_LEFT = 1, RO_RIGHT = 2, RO_STRAIGHT = 3, RO_LANE_FOLLOW = 4;
+constexpr int RO_LEFT = 1, RO_RIGHT = 2, RO_STRAIGHT = 3, RO_LANE_FOLLOW = 4,
+              RO_CL_LEFT = 5, RO_CL_RIGHT = 6;
 
 struct Graph {
   int num_lanes;
@@ -36,6 +37,13 @@ struct Graph {
   const float* wp_xy;        // (N, 2)
   const float* wp_yaw;       // (N,)
   const int32_t* wp_lane;    // (N,)
+  // lateral (lane-change) adjacency; nullable for single-lane towns.
+  // Zero-cost edges mirror the reference's _lane_change_link
+  // (navigation/route_planner.py:174-219).
+  const int32_t* lane_left;   // (L,) or nullptr
+  const int32_t* lane_right;  // (L,) or nullptr
+  const int32_t* wp_left;     // (N,) or nullptr
+  const int32_t* wp_right;    // (N,) or nullptr
 };
 
 // xorshift128+ — deterministic, portable
@@ -94,6 +102,18 @@ std::vector<int> astar(const Graph& g, int src_lane, int dst_lane) {
         open.push({ng + h(nxt), {ng, nxt}});
       }
     }
+    if (g.lane_left != nullptr) {
+      const int32_t lats[2] = {g.lane_left[lane], g.lane_right[lane]};
+      for (int32_t nxt : lats) {
+        if (nxt < 0) continue;
+        float ng = gc;  // zero-cost lane change
+        if (ng < gscore[nxt]) {
+          gscore[nxt] = ng;
+          came[nxt] = lane;
+          open.push({ng + h(nxt), {ng, nxt}});
+        }
+      }
+    }
   }
   return {};
 }
@@ -117,26 +137,70 @@ int32_t rp_trace_route(
     const int32_t* lane_src, const int32_t* lane_dst, const float* lane_length,
     const int32_t* succ, const int32_t* succ_off,
     const float* wp_xy, const float* wp_yaw, const int32_t* wp_lane,
+    const int32_t* lane_left, const int32_t* lane_right,
+    const int32_t* wp_left, const int32_t* wp_right,
     int32_t origin_wp, int32_t dest_wp, int32_t max_len,
     float* out_xy, float* out_yaw, int32_t* out_option) {
   Graph g{num_lanes, first_wp, last_wp, lane_src, lane_dst,
-          lane_length, succ, succ_off, wp_xy, wp_yaw, wp_lane};
+          lane_length, succ, succ_off, wp_xy, wp_yaw, wp_lane,
+          lane_left, lane_right, wp_left, wp_right};
   int src_lane = wp_lane[origin_wp];
   int dst_lane = wp_lane[dest_wp];
   auto path = astar(g, src_lane, dst_lane);
   if (path.empty()) return 0;
 
   int n = 0;
+  int start = -1;  // wp index to enter the current lane at (-1 = lane start)
   for (size_t i = 0; i < path.size() && n < max_len; ++i) {
     int lane = path[i];
     int f = first_wp[lane], l = last_wp[lane];
     if (i == 0 && origin_wp > f) f = origin_wp;
-    if (lane == dst_lane && i + 1 == path.size() && dest_wp < l) l = dest_wp;
-    if (l < f) continue;
+    int s = (start < 0) ? f : std::max(f, std::min(start, l));
+    start = -1;
+    int end = l;
+    if (lane == dst_lane && i + 1 == path.size() && dest_wp < l) end = dest_wp;
+    // lateral (lane-change) hop: emit a short diagonal blend annotated
+    // CHANGELANELEFT/RIGHT, then continue on the target lane
+    bool lateral = false, is_left = false;
+    int nxt = -1;
+    if (i + 1 < path.size() && lane_left != nullptr) {
+      nxt = path[i + 1];
+      if (lane_left[lane] == nxt) { lateral = true; is_left = true; }
+      else if (lane_right[lane] == nxt) { lateral = true; }
+    }
+    if (lateral) {
+      int change_at = std::min(s + 2, end);
+      for (int w = s; w < change_at && n < max_len; ++w, ++n) {
+        out_xy[2 * n] = wp_xy[2 * w];
+        out_xy[2 * n + 1] = wp_xy[2 * w + 1];
+        out_yaw[n] = wp_yaw[w];
+        out_option[n] = RO_LANE_FOLLOW;
+      }
+      int tgt = is_left ? wp_left[change_at] : wp_right[change_at];
+      if (tgt < 0) return 0;  // inconsistent adjacency
+      int tgt_ahead = std::min(tgt + 8, (int)last_wp[nxt]);  // ~15 m
+      const float* p0 = &wp_xy[2 * change_at];
+      const float* p1 = &wp_xy[2 * tgt_ahead];
+      float dxy[2] = {p1[0] - p0[0], p1[1] - p0[1]};
+      float dist = std::sqrt(dxy[0] * dxy[0] + dxy[1] * dxy[1]);
+      int nb = std::max(3, (int)std::lround(dist / 2.f) + 1);
+      float byaw = std::atan2(dxy[1], dxy[0]);
+      int opt = is_left ? RO_CL_LEFT : RO_CL_RIGHT;
+      for (int b = 0; b + 1 < nb && n < max_len; ++b, ++n) {
+        float t = (float)b / (float)(nb - 1);
+        out_xy[2 * n] = p0[0] + t * dxy[0];
+        out_xy[2 * n + 1] = p0[1] + t * dxy[1];
+        out_yaw[n] = byaw;
+        out_option[n] = opt;
+      }
+      start = tgt_ahead;
+      continue;
+    }
+    if (end < s) continue;
     bool connector = lane_src[lane] == lane_dst[lane];
     int opt = RO_LANE_FOLLOW;
-    if (connector) opt = turn_option(wp_yaw[f], wp_yaw[l]);
-    for (int w = f; w <= l && n < max_len; ++w, ++n) {
+    if (connector) opt = turn_option(wp_yaw[s], wp_yaw[end]);
+    for (int w = s; w <= end && n < max_len; ++w, ++n) {
       out_xy[2 * n] = wp_xy[2 * w];
       out_xy[2 * n + 1] = wp_xy[2 * w + 1];
       out_yaw[n] = wp_yaw[w];
@@ -154,6 +218,8 @@ int32_t rp_build_bank(
     const int32_t* lane_src, const int32_t* lane_dst, const float* lane_length,
     const int32_t* succ, const int32_t* succ_off,
     const float* wp_xy, const float* wp_yaw, const int32_t* wp_lane,
+    const int32_t* lane_left, const int32_t* lane_right,
+    const int32_t* wp_left, const int32_t* wp_right,
     const int32_t* spawn_wp, int32_t num_spawn,
     const int32_t* origins, int32_t num_origins,
     int32_t num_routes, int32_t max_len, int32_t min_waypoints, uint64_t seed,
@@ -174,6 +240,7 @@ int32_t rp_build_bank(
     int32_t* opt = &out_option[static_cast<int64_t>(built) * max_len];
     int n = rp_trace_route(num_lanes, first_wp, last_wp, lane_src, lane_dst,
                            lane_length, succ, succ_off, wp_xy, wp_yaw, wp_lane,
+                           lane_left, lane_right, wp_left, wp_right,
                            spawn_wp[o], spawn_wp[d], max_len, xy, yaw, opt);
     if (n < min_waypoints) continue;
     // pad the tail with the final waypoint

@@ -153,3 +153,28 @@ class TestMultiLaneTowns:
         thr = float(env.town.road_half[0]) + (5.5 - 3.8)
         assert float(d) < thr, "outer lane counted as off-road"
         assert float(d) > 3.8, "outer lane should be outside a single-lane band"
+
+
+class TestKeyboardTeleop:
+    def test_keyboard_teleop_runs_headless(self, monkeypatch):
+        """Keyboard teleop (reference environment.py:568-664) drives the env
+        under SDL's dummy video driver; quits cleanly via the ESC path."""
+        import os
+        os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+        pygame = pytest.importorskip("pygame")
+        from carla_driving_rl_agent_tpu.envs.wrappers import CARLAPlayWrapper
+        env = make_env()
+        wrapper = CARLAPlayWrapper(env)
+        # inject an ESC keydown after a few frames so the loop exits
+        real_get = pygame.event.get
+        count = {"n": 0}
+
+        def fake_get(*a, **kw):
+            count["n"] += 1
+            if count["n"] >= 3:
+                return [pygame.event.Event(pygame.KEYDOWN,
+                                           key=pygame.K_ESCAPE)]
+            return []
+        monkeypatch.setattr(pygame.event, "get", fake_get)
+        out = wrapper.keyboard(timesteps=32)
+        assert out["timesteps"] <= 32

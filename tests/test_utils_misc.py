@@ -129,3 +129,45 @@ class TestAggregator:
         assert out["no-Town01-train"]["similarity"]["mean"] == 4.0
         unfiltered = agg.aggregate(str(tmp_path))
         assert unfiltered["no-Town01-train"]["similarity"]["mean"] == 2.0
+
+
+class TestSummaryHistogramsImages:
+    def test_histogram_and_image_routing(self, tmp_path):
+        """'weight-'/'bias-' keys -> decile histograms; 'image_' keys -> PNG
+        files (reference rl/utils.py:631-659 routing)."""
+        import json
+        import numpy as np
+        from carla_driving_rl_agent_tpu.utils.summary import Summary
+        s = Summary(mode="summary", name="t", log_dir=str(tmp_path))
+        s.log(**{"weight-policy/w0": np.random.default_rng(0).normal(size=256)})
+        s.log(image_obs=np.zeros((2, 8, 8, 3), np.uint8))
+        s.log(loss=1.5)
+        s.write_summaries()
+        rec = json.loads(open(s._path).read().splitlines()[0])
+        h = rec["weight-policy/w0_hist"]
+        assert len(h["quantiles"]) == 7 and h["count"] == 256
+        assert rec["loss"] == 1.5
+        paths = rec["image_obs_images"]
+        assert len(paths) == 2
+        import os
+        p = os.path.join(s.dir, paths[0])
+        assert os.path.exists(p)
+        assert open(p, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+
+    def test_plot_helpers_write_files(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        import numpy as np
+        from carla_driving_rl_agent_tpu.utils import summary as S
+        S.plot_images([np.zeros((4, 4, 3), np.uint8)] * 3, show=False,
+                      path=str(tmp_path / "imgs.png"))
+        S.plot_summary({"a": [1, 2, 3], "b": [3, 2, 1]}, show=False,
+                       path=str(tmp_path / "hist.png"))
+        from carla_driving_rl_agent_tpu.utils.schedules import ExponentialDecay
+        sched = ExponentialDecay(initial_value=1.0, decay_steps=10,
+                                 decay_rate=0.5)
+        S.plot_parameter(lambda step: 0.5 ** (step // 10), 25, show=False,
+                         path=str(tmp_path / "sched.png"))
+        assert (tmp_path / "imgs.png").exists()
+        assert (tmp_path / "hist.png").exists()
+        assert (tmp_path / "sched.png").exists()
