@@ -90,9 +90,48 @@ def main():
 
     total_steps = NUM_WORLDS * STEPS_PER_CALL * TIMED_CALLS
     sps = total_steps / dt
+
+    extra = {}
+    try:
+        extra["train_env_steps_per_sec"] = round(train_bench(), 1)
+    except Exception as e:              # never let the train bench kill the
+        extra["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]  # headline metric
+
     print(json.dumps(dict(metric="env_steps_per_sec_rendered_1024w",
                           value=round(sps, 1), unit="steps/s",
-                          vs_baseline=round(sps / 1_000_000.0, 4))))
+                          vs_baseline=round(sps / 1_000_000.0, 4), **extra)))
+
+
+def train_bench() -> float:
+    """Trained-env-steps/s for FULL train updates (fused rollout + PPO/aux
+    SGD, full-size network) at the stage-s1 geometry: 32 worlds x 512 steps
+    per update, batch 64 — the driver-measurable counterpart of the
+    curriculum wall-clock target (BASELINE.md)."""
+    import time as _time
+
+    import jax as _jax
+
+    from carla_driving_rl_agent_tpu.agents.carla_agent import (
+        CARLAgent, CARLAgentConfig)
+    from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
+    from carla_driving_rl_agent_tpu.envs.world import WorldParams
+
+    num_envs, steps = 32, 512
+    env = CARLAEnv(CARLAEnvConfig(
+        world=WorldParams(town_names=("Town03",), num_routes=64,
+                          max_route_len=512, max_timesteps=512,
+                          num_vehicles=0, num_pedestrians=0, v_max=1, p_max=1),
+        image_height=90, image_width=120, render_mode="pallas",
+        time_horizon=4, past_obs_freq=4))
+    agent = CARLAgent(env, CARLAgentConfig(
+        num_envs=num_envs, rollout_steps=steps, batch_size=64, seed=0),
+        log_mode=None)
+
+    env_states, _ = agent.learn(num_updates=1)        # compile + warmup
+    t0 = _time.perf_counter()
+    env_states, history = agent.learn(num_updates=2, env_states=env_states)
+    dt = _time.perf_counter() - t0                    # learn() fetches host
+    return 2 * num_envs * steps / dt                  # metrics -> synced
 
 
 if __name__ == "__main__":

@@ -499,7 +499,15 @@ class CARLAgent:
         def eval_rollout(params, stats, key, consts):
             with env.bind(consts):
                 k_reset, key = jax.random.split(key)
-                states, _ = env.reset_batch(k_reset, num_worlds)
+                # per-trial deterministic keys (fold_in by trial index)
+                # mirror the reference's per-trial reseeding with
+                # initial_seed + trial (core/carla_agent.py:239-240): trial i
+                # draws the same town/weather/route for a given initial_seed
+                # regardless of the batch size
+                keys = jax.vmap(lambda i: jax.random.fold_in(k_reset, i))(
+                    jnp.arange(num_worlds))
+                states, _ = jax.vmap(env.reset)(
+                    keys, jnp.zeros((num_worlds,), jnp.int32))
                 acc = dict(
                     active=jnp.ones(num_worlds),
                     total_reward=jnp.zeros(num_worlds),

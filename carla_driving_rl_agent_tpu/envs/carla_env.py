@@ -220,11 +220,13 @@ class CARLAEnv:
 
     def _render_frame_pallas(self, world: WorldState) -> jax.Array:
         """Fused Pallas render path (ops/rasterizer_pallas.py); interpret mode
-        off-TPU so tests run on CPU."""
+        off-TPU so tests run on CPU.  Geometry selection uses the cell
+        lookup tables (pack_geometry_banked) — no per-frame top_k."""
         from carla_driving_rl_agent_tpu.ops import rasterizer_pallas as RP
         cfg = self.config
         interpret = jax.default_backend() != "tpu"
-        return RP.render_cameras_pallas(self._render_inputs(world),
+        return RP.render_cameras_banked(self.town, world,
+                                        self.weather_params[world.weather_id],
                                         height=cfg.image_height,
                                         width=cfg.image_width,
                                         interpret=interpret,

@@ -36,6 +36,9 @@ WAYPOINT_RES = 2.0         # m, DAO sampling_resolution equivalent
 JUNCTION_RADIUS = 9.0      # m, radius around a node considered "junction"
 TEXTURE_RES = 0.5          # m / texel of the semantic map
 DISTANCE_RES = 1.0         # m / texel of the distance-to-road field
+CELL_RES = 20.0            # m / cell of the nearest-entity lookup tables
+CELL_K_SEG = 24            # nearest segments cached per cell (full-quality K)
+CELL_K_BLD = 16            # nearest buildings cached per cell
 
 # semantic classes (rasterizer palette indexes)
 CLASS_TERRAIN = 0
@@ -125,6 +128,13 @@ class TownData:
     wp_left: np.ndarray = None           # (N,) nearest wp on the left-neighbor lane
     wp_right: np.ndarray = None          # (N,) nearest wp on the right-neighbor lane
     road_half: float = LANE_WIDTH + 0.3  # road band half-width (render/off-road)
+    # nearest-entity cell tables (CELL_RES m grid): per cell, the CELL_K_SEG
+    # nearest road segments / CELL_K_BLD nearest buildings, ordered by
+    # distance from the cell center.  Replaces the renderer's per-frame
+    # top_k over all segments with one tiny gather (TPU: gathers are cheap
+    # at K=12, top_k over hundreds of entries per world per frame is not).
+    seg_cells: np.ndarray = None         # (GH, GW, CELL_K_SEG) int32
+    bld_cells: np.ndarray = None         # (GH, GW, CELL_K_BLD) int32
 
 
 def _build_grid_graph(rng: np.random.Generator, nx: int, ny: int, block: float,
@@ -435,6 +445,10 @@ def build_town(name: str) -> TownData:
     _stamp_buildings(texture, tex_origin, TEXTURE_RES, buildings)
 
     dist_field, dist_origin = _distance_field(segments, width, height)
+    seg_cells = _nearest_cell_table(segments[:, :2], segments[:, 2:],
+                                    width, height, CELL_K_SEG)
+    bld_cells = _nearest_cell_table(buildings[:, :2], buildings[:, :2],
+                                    width, height, CELL_K_BLD)
 
     return TownData(
         name=name, extent=(width, height),
@@ -459,6 +473,7 @@ def build_town(name: str) -> TownData:
         lane_left=lane_left_arr, lane_right=lane_right_arr,
         wp_left=wp_left, wp_right=wp_right,
         road_half=road_half,
+        seg_cells=seg_cells, bld_cells=bld_cells,
     )
 
 
@@ -558,6 +573,30 @@ def _stamp_buildings(tex, origin, scale, buildings):
         tex[y0:y1, x0:x1] = CLASS_BUILDING
 
 
+def _nearest_cell_table(p0: np.ndarray, p1: np.ndarray, width: float,
+                        height: float, k: int) -> np.ndarray:
+    """(GH, GW, k) indices of the k nearest segments [p0->p1] (or points,
+    when p0 is p1) per CELL_RES cell, ordered by distance from the cell
+    center.  Distances are center-based; CELL_RES/sqrt(2) ~ 14 m of slack vs
+    the renderer's ego-based exact top_k is visually negligible at K>=12."""
+    gh = max(1, int(np.ceil(height / CELL_RES)))
+    gw = max(1, int(np.ceil(width / CELL_RES)))
+    ys, xs = np.mgrid[0:gh, 0:gw]
+    centers = np.stack([(xs.ravel() + 0.5) * CELL_RES,
+                        (ys.ravel() + 0.5) * CELL_RES], axis=1)  # (C, 2)
+    n = len(p0)
+    d = np.empty((len(centers), n), np.float32)
+    for i in range(n):
+        di, _ = _point_segment_distance(centers, p0[i], p1[i])
+        d[:, i] = di
+    k_eff = min(k, n)
+    idx = np.argsort(d, axis=1)[:, :k_eff]
+    if k_eff < k:  # pad by repeating the farthest entry
+        idx = np.concatenate([idx, np.repeat(idx[:, -1:], k - k_eff, axis=1)],
+                             axis=1)
+    return idx.reshape(gh, gw, k).astype(np.int32)
+
+
 def _distance_field(segments, width, height):
     dh = int(round(height / DISTANCE_RES))
     dw = int(round(width / DISTANCE_RES))
@@ -616,11 +655,21 @@ class TownBank:
     num_edges: np.ndarray        # (T,)
     extent: np.ndarray           # (T, 2)
     road_half: np.ndarray        # (T,) road band half-width (meters)
+    seg_cells: np.ndarray        # (T, GHmax, GWmax, CELL_K_SEG) int32
+    bld_cells: np.ndarray        # (T, GHmax, GWmax, CELL_K_BLD) int32
 
 
 def _pad_to(arr: np.ndarray, n: int, fill=0):
     pad = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
     return np.pad(arr, pad, constant_values=fill)
+
+
+def _pad_cells(cells: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Pad a cell table to (gh, gw, K); out-of-extent cells repeat the edge
+    cell's entries (ego never reaches them)."""
+    out = np.pad(cells, ((0, gh - cells.shape[0]), (0, gw - cells.shape[1]),
+                         (0, 0)), mode="edge")
+    return out
 
 
 def build_town_bank(names: List[str]) -> TownBank:
@@ -634,6 +683,8 @@ def build_town_bank(names: List[str]) -> TownBank:
     tw = max(t.texture.shape[1] for t in towns)
     dh = max(t.dist_field.shape[0] for t in towns)
     dw = max(t.dist_field.shape[1] for t in towns)
+    gh_m = max(t.seg_cells.shape[0] for t in towns)
+    gw_m = max(t.seg_cells.shape[1] for t in towns)
 
     def pad_tex(t):
         return np.pad(t.texture, ((0, th - t.texture.shape[0]), (0, tw - t.texture.shape[1])))
@@ -673,4 +724,6 @@ def build_town_bank(names: List[str]) -> TownBank:
         num_edges=np.asarray([len(t.edges_xy) for t in towns], np.int32),
         extent=np.asarray([t.extent for t in towns], np.float32),
         road_half=np.asarray([t.road_half for t in towns], np.float32),
+        seg_cells=np.stack([_pad_cells(t.seg_cells, gh_m, gw_m) for t in towns]),
+        bld_cells=np.stack([_pad_cells(t.bld_cells, gh_m, gw_m) for t in towns]),
     )

@@ -57,6 +57,8 @@ class TownDev(NamedTuple):
     num_edges: jax.Array
     extent: jax.Array
     road_half: jax.Array
+    seg_cells: jax.Array   # (T, GH, GW, K) nearest-segment lookup (render)
+    bld_cells: jax.Array   # (T, GH, GW, K) nearest-building lookup (render)
 
 
 class RoutesDev(NamedTuple):
@@ -153,6 +155,8 @@ def build_world_data(params: WorldParams) -> Tuple[TownDev, RoutesDev]:
         num_edges=jnp.asarray(bank.num_edges),
         extent=jnp.asarray(bank.extent),
         road_half=jnp.asarray(bank.road_half),
+        seg_cells=jnp.asarray(bank.seg_cells),
+        bld_cells=jnp.asarray(bank.bld_cells),
     )
     banks = []
     for name in params.town_names:

@@ -311,6 +311,72 @@ def pack_geometry(inputs: R.RenderInputs) -> jax.Array:
     return jnp.pad(geom, (0, GEOM_PAD - geom.shape[0])).astype(jnp.float32)
 
 
+def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
+    """Geometry pack straight from the stacked town bank (TownDev) + world
+    state, replacing pack_geometry's per-frame top_k over ALL segments/
+    buildings with one cell-table gather (town.seg_cells/bld_cells,
+    envs/town.CELL_RES grid, ordered by distance from the cell center).
+
+    All lookups are fused two-level gathers (arr[town_id, idx]) so nothing
+    per-town is materialized per world under vmap."""
+    from carla_driving_rl_agent_tpu.envs.town import CELL_RES
+
+    tid = world.town_id
+    ego_xy = jnp.stack([world.x, world.y])
+    gh, gw = town.seg_cells.shape[1], town.seg_cells.shape[2]
+    cx = jnp.clip((world.x / CELL_RES).astype(jnp.int32), 0, gw - 1)
+    cy = jnp.clip((world.y / CELL_RES).astype(jnp.int32), 0, gh - 1)
+
+    seg_idx = town.seg_cells[tid, cy, cx, :K_EDGES]          # (K,)
+    segs = town.edges_xy[tid, seg_idx]                       # (K, 4)
+    bld_idx = town.bld_cells[tid, cy, cx, :K_BUILDINGS]
+    blds = town.buildings[tid, bld_idx]                      # (K, 5)
+    # zero out padded building slots (index beyond num_buildings)
+    b_ok = bld_idx < town.num_buildings[tid]
+    blds = blds * b_ok[:, None]
+
+    j_all = town.junction_xy[tid]                            # (J, 2) small
+    j_idx = R._nearest_k(j_all, ego_xy,
+                         jnp.arange(j_all.shape[0]) < town.num_junctions[tid], 4)
+    juncs = j_all[j_idx]
+
+    npc = world.npc
+    kv = K_ACTORS // 2
+    v_idx = R._nearest_k(npc.veh_xy, ego_xy, npc.veh_active > 0,
+                         min(kv, npc.veh_xy.shape[0]))
+    p_idx = R._nearest_k(npc.ped_xy, ego_xy, npc.ped_active > 0,
+                         min(kv, npc.ped_xy.shape[0]))
+    veh_colors = jnp.asarray([[180, 30, 30], [30, 60, 180], [220, 220, 220],
+                              [40, 40, 40], [200, 170, 40], [90, 140, 190]],
+                             jnp.float32)
+
+    def actor_rows(xy, idx, ok, hw, ht, colors):
+        k = idx.shape[0]
+        return jnp.concatenate([
+            xy[idx], ok[idx][:, None],
+            jnp.full((k, 1), hw), jnp.full((k, 1), ht), colors], axis=-1)
+
+    v_rows = actor_rows(npc.veh_xy, v_idx, npc.veh_active, 1.0, 1.6,
+                        veh_colors[v_idx % 6])
+    p_rows = actor_rows(npc.ped_xy, p_idx, npc.ped_active, 0.3, 1.8,
+                        jnp.tile(jnp.asarray([[190., 120., 90.]]),
+                                 (p_idx.shape[0], 1)))
+    actors = jnp.concatenate([v_rows, p_rows], axis=0)
+    if actors.shape[0] < K_ACTORS:
+        actors = jnp.concatenate(
+            [actors, jnp.zeros((K_ACTORS - actors.shape[0], 8))], axis=0)
+
+    geom = jnp.concatenate([
+        segs.reshape(-1), blds.reshape(-1), juncs.reshape(-1),
+        actors.reshape(-1),
+        jnp.stack([ego_xy[0], ego_xy[1],
+                   jnp.cos(world.yaw), jnp.sin(world.yaw)]),
+        weather,
+        jnp.reshape(town.road_half[tid], (1,)).astype(jnp.float32),
+    ])
+    return jnp.pad(geom, (0, GEOM_PAD - geom.shape[0])).astype(jnp.float32)
+
+
 def render_tile(geom: jax.Array, interpret: bool = False) -> jax.Array:
     """Run the kernel for one world -> (4, 64, 128) float32 planes
     (RGB + log-depth)."""
@@ -363,6 +429,17 @@ def render_cameras_pallas(inputs: R.RenderInputs, height: int = 90,
                           return_depth: bool = False) -> jax.Array:
     """Drop-in replacement for rasterizer.render_cameras (single world)."""
     geom = pack_geometry(inputs)
+    planes = render_tile(geom, interpret=interpret)
+    return tile_to_image(planes, out_h=height, out_w=width,
+                         with_depth=return_depth)
+
+
+def render_cameras_banked(town, world, weather: jax.Array, height: int = 90,
+                          width: int = 120, interpret: bool = False,
+                          return_depth: bool = False) -> jax.Array:
+    """Fast production path: cell-table geometry pack (no top_k, fused
+    bank gathers) + the same kernel."""
+    geom = pack_geometry_banked(town, world, weather)
     planes = render_tile(geom, interpret=interpret)
     return tile_to_image(planes, out_h=height, out_w=width,
                          with_depth=return_depth)

@@ -153,15 +153,23 @@ def run_evaluation(weights: str = "stage-s5", steps: int = 512, trials: int = 50
                                   weights=weights)
 
 
-def run_standard(epochs: int, num_envs: int = NUM_ENVS):
+def run_standard(epochs: int, num_envs: int = NUM_ENVS, sharp: bool = False,
+                 stage_name: str = "stage-standard"):
     """The no-curriculum control agent (reference README.md:130's "standard"
     column): PPO trained from scratch directly in the stage-s5 setting, with
-    the same total update budget the curriculum spends across s1->s5."""
+    the same total update budget the curriculum spends across s1->s5.
+
+    --sharp trains it with the sharp recipe minus the curriculum (decaying
+    entropy + Beta-head guard + gamma/lambda fix) so the standard-vs-
+    curriculum comparison is against a baseline whose objective actually
+    learns (round-1 finding: the parity entropy bonus freezes the policy
+    near-uniform; the standard agent scored below the untrained control)."""
+    extra = sharp_recipe() if sharp else {}
     stage = learning.stage_s5(episodes=EPISODES, timesteps=TIMESTEPS,
                               batch_size=BATCH, num_envs=num_envs,
                               town="Town03", traffic="dense",
-                              stage_name="stage-standard", load=False,
-                              save_every="end")
+                              stage_name=stage_name, load=False,
+                              save_every="end", **extra)
     stage.run2(epochs=epochs, copy_weights=False)
 
 
@@ -200,7 +208,9 @@ if __name__ == "__main__":
         run_curriculum(args.epochs, args.num_envs, block=args.block,
                        weights_dir=args.weights_dir, sharp=args.sharp)
     elif args.standard:
-        run_standard(int(args.epochs), args.num_envs)
+        run_standard(int(args.epochs), args.num_envs, sharp=args.sharp,
+                     stage_name=("stage-standard-sharp" if args.sharp
+                                 else "stage-standard"))
     elif args.stage:
         make_stage(args.stage, int(args.epochs), args.num_envs, block=args.block,
                    weights_dir=args.weights_dir,

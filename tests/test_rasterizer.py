@@ -110,3 +110,52 @@ class TestDepthChannel:
         assert obs["image"].shape == (4, 90, 360, 4)
         depth = np.asarray(obs["image"][-1, :, 120:240, 3])
         assert depth.std() > 0.01, "stack_depth channel must be non-constant"
+
+
+class TestBankedPallasPath:
+    def test_banked_pack_matches_exact_pack(self):
+        """The cell-table geometry pack must render (near-)identically to the
+        exact top_k pack on a real world state."""
+        import jax
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            CARLAEnv, CARLAEnvConfig)
+        from carla_driving_rl_agent_tpu.envs.world import WorldParams
+        env = CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02",), num_routes=8,
+                              max_route_len=256, max_timesteps=32,
+                              num_vehicles=2, num_pedestrians=2,
+                              v_max=2, p_max=2),
+            image_height=90, image_width=120, render_mode="pallas"))
+        state, obs = env.reset(jax.random.PRNGKey(1))
+        w = state.world
+        exact = np.asarray(RP.render_cameras_pallas(
+            env._render_inputs(w), interpret=True), np.int32)
+        banked = np.asarray(RP.render_cameras_banked(
+            env.town, w, env.weather_params[w.weather_id], interpret=True),
+            np.int32)
+        diff = np.abs(banked - exact)
+        frac = (diff <= 2).mean()
+        assert frac > 0.97, f"banked pack diverged: {1-frac:.4f} pixels differ"
+
+    def test_cell_tables_cover_on_road_positions(self):
+        """For points on the road, the cell table's nearest segment equals
+        the exact nearest segment (center-distance ordering is exact at
+        distance << CELL_RES)."""
+        from carla_driving_rl_agent_tpu.envs import town as town_mod
+        t = town_mod.get_town("Town02")
+        rng = np.random.default_rng(0)
+        wp = t.wp_xy[rng.integers(0, len(t.wp_xy), 64)]
+        gh, gw, _ = t.seg_cells.shape
+        for p in wp:
+            cx = min(int(p[0] / town_mod.CELL_RES), gw - 1)
+            cy = min(int(p[1] / town_mod.CELL_RES), gh - 1)
+            cand = t.seg_cells[cy, cx]
+            d_all = np.array([_seg_dist(p, s) for s in t.edges_xy])
+            assert d_all.argmin() in cand, "true nearest segment not in cell table"
+
+
+def _seg_dist(p, seg):
+    p0, p1 = seg[:2], seg[2:]
+    e = p1 - p0
+    t = np.clip(np.dot(p - p0, e) / max(np.dot(e, e), 1e-9), 0, 1)
+    return np.linalg.norm(p - (p0 + t * e))
