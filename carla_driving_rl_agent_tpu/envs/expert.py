@@ -11,6 +11,16 @@ to produce imitation traces (reference `CARLACollectWrapper`,
 
 Behaviour profiles (reference `navigation/types_behavior.py:7-40`):
 cautious / normal / aggressive = speed factor + safety distances.
+
+Overtake/tailgate (reference `behavior_agent.py:189-256`) — deviation
+(documented): the reference re-plans its route from the neighbour lane via
+`set_destination`; here lane changes already live in the PLANNED route
+(the A* has zero-cost lateral edges, envs/route.py) and blocked-lead
+safety comes from the shared TTC car-following band
+(traffic.ttc_target_speed).  Dynamic mid-route lane hops are implemented
+for NPC vehicles (traffic.step_npcs), which hold a town-graph waypoint the
+hop can retarget; the expert tracks a fixed RouteBank polyline instead, so
+a hop would desynchronise it from its own route features.
 """
 
 from __future__ import annotations

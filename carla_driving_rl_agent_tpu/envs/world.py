@@ -230,11 +230,22 @@ def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
 
 
 def _off_road_distance(town: TownDev, town_id, x, y):
-    """Distance from the ego to the nearest road centerline, computed
-    analytically against the town's segments (replaces UE4 static-mesh
-    collision; compute-over-memory — no texture gather)."""
-    segs = town.edges_xy[town_id]                       # (E, 4)
-    valid = jnp.arange(segs.shape[0]) < town.num_edges[town_id]
+    """Distance from the ego to the nearest road centerline (replaces UE4
+    static-mesh collision).
+
+    Uses the town's nearest-segment cell table (town.CELL_RES grid, 24
+    candidates ordered by cell-center distance) instead of scanning every
+    segment: this runs EVERY physics step per world, and the candidate set
+    provably contains the true nearest segment for any position within
+    threshold distance of a road (tests/test_world.py pins equivalence).
+    Positions whose candidate distances all exceed ~CELL_RES are far
+    off-road either way — the threshold comparison is unaffected."""
+    from carla_driving_rl_agent_tpu.envs.town import CELL_RES
+    gh, gw = town.seg_cells.shape[1], town.seg_cells.shape[2]
+    cx = jnp.clip((x / CELL_RES).astype(jnp.int32), 0, gw - 1)
+    cy = jnp.clip((y / CELL_RES).astype(jnp.int32), 0, gh - 1)
+    idx = town.seg_cells[town_id, cy, cx]               # (K,) fused gather
+    segs = town.edges_xy[town_id, idx]                  # (K, 4)
     ex = segs[:, 2] - segs[:, 0]
     ey = segs[:, 3] - segs[:, 1]
     L2 = jnp.maximum(ex * ex + ey * ey, 1e-9)
@@ -243,8 +254,7 @@ def _off_road_distance(town: TownDev, town_id, x, y):
     t = jnp.clip((rx * ex + ry * ey) / L2, 0.0, 1.0)
     dx = rx - t * ex
     dy = ry - t * ey
-    d = jnp.sqrt(dx * dx + dy * dy)
-    return jnp.min(jnp.where(valid, d, 1e9))
+    return jnp.sqrt(jnp.min(dx * dx + dy * dy))
 
 
 def step_world(state: WorldState, action: jax.Array, params: WorldParams,

@@ -212,3 +212,39 @@ class TestCollisionTypingInfo:
         assert not (bool(info["hit_other"]) or bool(info["hit_vehicle"])
                     or bool(info["hit_pedestrian"]))
         assert float(info["off_road_distance"]) <= params.off_road_threshold
+
+
+class TestOffRoadCellTable:
+    def test_cell_based_off_road_matches_exact(self):
+        """The cell-table off-road distance equals the exact full scan for
+        positions near roads (the only regime the threshold test reads)."""
+        import jax
+        import jax.numpy as jnp
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            CARLAEnv, CARLAEnvConfig)
+        from carla_driving_rl_agent_tpu.envs.world import (
+            WorldParams, _off_road_distance)
+        env = CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02", "Town03"), num_routes=4,
+                              max_route_len=128, max_timesteps=16,
+                              random_towns=True),
+            image_height=48, image_width=32, render_mode="zeros"))
+        town = env.town
+        rng = np.random.default_rng(1)
+        for tid in (0, 1):
+            E = int(town.num_edges[tid])
+            segs = np.asarray(town.edges_xy[tid][:E])
+            # sample points on and near roads (within 12 m)
+            base = segs[rng.integers(0, E, 48), :2]
+            pts = base + rng.normal(0, 6.0, size=base.shape)
+            for p in pts:
+                d_cell = float(_off_road_distance(
+                    town, jnp.asarray(tid), jnp.asarray(p[0]), jnp.asarray(p[1])))
+                ex = segs[:, 2] - segs[:, 0]
+                ey = segs[:, 3] - segs[:, 1]
+                L2 = np.maximum(ex * ex + ey * ey, 1e-9)
+                t = np.clip(((p[0] - segs[:, 0]) * ex + (p[1] - segs[:, 1]) * ey)
+                            / L2, 0, 1)
+                d_exact = np.sqrt(((p[0] - segs[:, 0] - t * ex) ** 2
+                                   + (p[1] - segs[:, 1] - t * ey) ** 2).min())
+                assert abs(d_cell - d_exact) < 1e-3, (tid, p, d_cell, d_exact)
