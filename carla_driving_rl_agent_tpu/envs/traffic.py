@@ -196,16 +196,32 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     limit_kmh = town.wp_speed_limit[town_id, new_wp] * speed_factor
     blocked = (d_hazard < 18.0) & (lead_v < 0.5 * npc.veh_v + 1.0)
 
+    n_veh = npc.veh_xy.shape[0]
+    not_self = ~(jnp.arange(all_xy.shape[0])[None, :]
+                 == jnp.arange(n_veh)[:, None])       # (V, A)
+
     def _clear(cand_wp):
         cand_xy = town.wp_xy[town_id, jnp.maximum(cand_wp, 0)]
         d_cand = jnp.linalg.norm(all_xy[None, :, :] - cand_xy[:, None, :], axis=-1)
-        return jnp.min(jnp.where(all_active[None, :] > 0, d_cand, 1e6),
-                       axis=1) > 8.0
+        return jnp.min(jnp.where((all_active[None, :] > 0) & not_self,
+                                 d_cand, 1e6), axis=1) > 8.0
+
+    # tailgating (behavior_agent.py:222-256): a faster vehicle close behind
+    # -> yield to the right lane when it is free
+    behind = jnp.einsum("vad,vd->va", rel, fwd) < 0.0
+    cos_back = -jnp.einsum("vad,vd->va", rel, fwd) / jnp.maximum(d_all, 1e-3)
+    in_back_cone = behind & (cos_back > 0.85) & (d_all > 0.1)
+    d_back_masked = jnp.where(in_back_cone & (all_active > 0), d_all, 1e6)
+    back_idx = jnp.argmin(d_back_masked, axis=1)
+    d_back = jnp.take_along_axis(d_back_masked, back_idx[:, None], axis=1)[:, 0]
+    back_v = jnp.where(d_back < 1e5, all_v[back_idx], 0.0)
+    tailgated = (d_back < 12.0) & (back_v > npc.veh_v + 1.0)
 
     wp_l = town.wp_left[town_id, new_wp]
     wp_r = town.wp_right[town_id, new_wp]
     go_left = blocked & (wp_l >= 0) & _clear(wp_l)
-    go_right = blocked & ~go_left & (wp_r >= 0) & _clear(wp_r)
+    go_right = ((blocked | tailgated) & ~go_left & (wp_r >= 0)
+                & _clear(wp_r))
     new_wp = jnp.where(go_left, wp_l, jnp.where(go_right, wp_r, new_wp))
     new_wp = new_wp.astype(jnp.int32)
 

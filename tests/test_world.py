@@ -248,3 +248,58 @@ class TestOffRoadCellTable:
                 d_exact = np.sqrt(((p[0] - segs[:, 0] - t * ex) ** 2
                                    + (p[1] - segs[:, 1] - t * ey) ** 2).min())
                 assert abs(d_cell - d_exact) < 1e-3, (tid, p, d_cell, d_exact)
+
+
+class TestNPCLaneChanges:
+    def _town04_env(self):
+        import jax
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            CARLAEnv, CARLAEnvConfig)
+        from carla_driving_rl_agent_tpu.envs.world import WorldParams
+        return CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town04",), num_routes=8,
+                              max_route_len=256, max_timesteps=128,
+                              num_vehicles=12, num_pedestrians=0,
+                              v_max=12, p_max=1),
+            image_height=48, image_width=32, render_mode="zeros"))
+
+    def test_blocked_npc_hops_to_clear_adjacent_lane(self):
+        """An NPC blocked by a stopped lead on a 2-lane road must retarget
+        its waypoint onto the adjacent lane (overtake,
+        behavior_agent.py:189-223)."""
+        import jax
+        import jax.numpy as jnp
+        from carla_driving_rl_agent_tpu.envs import traffic, town as town_mod
+        env = self._town04_env()
+        town = env.town
+        t4 = town_mod.get_town("Town04")
+        # place NPC 0 moving on an inner lane (has a right neighbor) with a
+        # stationary NPC 1 directly ahead on the same lane
+        wp0 = int(np.where(t4.wp_right >= 0)[0][100])
+        wp_lead = wp0 + 6   # ~12 m ahead on the same lane polyline
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        npc = state.world.npc
+        xy = np.array(npc.veh_xy)
+        yaw = np.array(npc.veh_yaw)
+        wp = np.array(npc.veh_wp)
+        v = np.array(npc.veh_v)
+        act = np.zeros_like(np.array(npc.veh_active))
+        xy[0], yaw[0], wp[0], v[0], act[0] = (
+            t4.wp_xy[wp0] - 2.0 * np.array([np.cos(t4.wp_yaw[wp0]),
+                                            np.sin(t4.wp_yaw[wp0])]),
+            t4.wp_yaw[wp0], wp0, 8.0, 1.0)
+        xy[1], yaw[1], wp[1], v[1], act[1] = (
+            t4.wp_xy[wp_lead], t4.wp_yaw[wp_lead], wp_lead, 0.0, 1.0)
+        npc = npc._replace(veh_xy=jnp.asarray(xy), veh_yaw=jnp.asarray(yaw),
+                           veh_wp=jnp.asarray(wp), veh_v=jnp.asarray(v),
+                           veh_active=jnp.asarray(act))
+        stepped = traffic.step_npcs(
+            jax.random.PRNGKey(1), npc, town, jnp.asarray(0),
+            jnp.asarray(0.0), jnp.asarray([1e6, 1e6]), jnp.asarray(0.0),
+            jnp.asarray(0.0))
+        new_wp0 = int(stepped.veh_wp[0])
+        assert int(t4.wp_lane[new_wp0]) != int(t4.wp_lane[wp0]), \
+            "blocked NPC did not change lane"
+        assert int(t4.wp_lane[new_wp0]) in (
+            int(t4.lane_left[t4.wp_lane[wp0]]),
+            int(t4.lane_right[t4.wp_lane[wp0]]))
