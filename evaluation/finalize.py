@@ -24,7 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 AGENTS = {
     "curriculum": "stage-s5",
-    "standard": "stage-standard",
+    # the functioning no-curriculum control (sharp recipe minus curriculum,
+    # same 390-update budget): the parity-objective control learns nothing
+    # (constant entropy bonus freezes the Beta policy — see main.py
+    # sharp_recipe docstring), so the honest curriculum-vs-standard
+    # comparison uses this one.  The parity run stays as standard-parity.
+    "standard": "stage-standard-sharp",
+    "standard-parity": "stage-standard",
     "untrained": "untrained-control",
     # TPU-new: curriculum retrained with the 'sharp' recipe (main.py --sharp);
     # included only once its sweep exists
