@@ -244,7 +244,7 @@ def stage_s1(episodes: int, timesteps: int, batch_size: int, save_every=None,
     hp = _stage_common(kwargs)
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
                          rollout_steps=min(timesteps, 128), name=stage_name,
-                         seed=seed, aug_intensity=0.0, **hp, **kwargs)
+                         seed=seed, aug_intensity=kwargs.pop("aug_intensity", 0.0), **hp, **kwargs)
     env = define_env(town=town, origins=sample_origins(town, amount=10, seed=seed),
                      throttle_as_desired_speed=True, disable_reverse=True,
                      max_timesteps=timesteps, seed=seed)
@@ -262,7 +262,7 @@ def stage_s2(episodes: int, timesteps: int, batch_size: int, save_every=None,
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
                          rollout_steps=min(timesteps, 128), name=stage_name,
                          seed=seed, load=True, load_full=True,
-                         aug_intensity=0.0, **hp, **kwargs)
+                         aug_intensity=kwargs.pop("aug_intensity", 0.0), **hp, **kwargs)
     env = define_env(town=town, origins=sample_origins(town, amount=50, seed=seed),
                      spawn=dict(vehicles=0, pedestrians=50),
                      throttle_as_desired_speed=True, disable_reverse=True,
@@ -281,7 +281,7 @@ def stage_s3(episodes: int, timesteps: int, batch_size: int, save_every=None,
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
                          rollout_steps=min(timesteps, 128), name=stage_name,
                          seed=seed, load=True, load_full=True,
-                         aug_intensity=0.0, **hp, **kwargs)
+                         aug_intensity=kwargs.pop("aug_intensity", 0.0), **hp, **kwargs)
     env = define_env(town=town, random_weathers=list(TRAIN_WEATHERS),
                      spawn=dict(vehicles=50, pedestrians=50),
                      throttle_as_desired_speed=True, disable_reverse=True,

@@ -90,12 +90,22 @@ def sharp_recipe() -> dict:
 
 def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
                block: bool = False, weights_dir: str = "weights",
-               sharp: bool = False):
+               sharp: bool = False, aug_intensity: float = None):
     common = dict(episodes=EPISODES, timesteps=TIMESTEPS, batch_size=BATCH,
                   num_envs=num_envs, save_every="end",
                   rollout_block=block, weights_dir=weights_dir)
     if sharp:
         common.update(sharp_recipe())
+        # measured on the v3 chain (round 2): full-strength update-time
+        # augmentation collapses a SHARPENED policy (s3 gate 0.86 collision
+        # -> s4 1.0 with aug=1.0 as the only delta): the PPO ratio evaluates
+        # the policy on augmented images while the rollout log-probs came
+        # from clean ones — harmless while the parity policy is frozen
+        # near-uniform (ratio pins at 1), destabilizing once it sharpens.
+        # Sharp runs therefore default augmentation OFF.
+        common.setdefault("aug_intensity", 0.0)
+    if aug_intensity is not None:
+        common["aug_intensity"] = aug_intensity
     if which == "s1":
         return learning.stage_s1(**common)
     if which == "s2":
@@ -198,6 +208,8 @@ if __name__ == "__main__":
                         help="sharp recipe: decaying entropy + Beta-head "
                              "saturation guard (see sharp_recipe)")
     parser.add_argument("--weights-dir", default="weights")
+    parser.add_argument("--aug-intensity", type=float, default=None,
+                        help="override stage augmentation intensity")
     parser.add_argument("--trials", type=int, default=50)
     args = parser.parse_args()
 
@@ -213,8 +225,8 @@ if __name__ == "__main__":
                                  else "stage-standard"))
     elif args.stage:
         make_stage(args.stage, int(args.epochs), args.num_envs, block=args.block,
-                   weights_dir=args.weights_dir,
-                   sharp=args.sharp).run2(epochs=int(args.epochs))
+                   weights_dir=args.weights_dir, sharp=args.sharp,
+                   aug_intensity=args.aug_intensity).run2(epochs=int(args.epochs))
     elif args.evaluate:
         run_evaluation(weights=args.weights, trials=args.trials)
     elif args.record:
