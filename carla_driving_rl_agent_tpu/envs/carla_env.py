@@ -225,12 +225,18 @@ class CARLAEnv:
         from carla_driving_rl_agent_tpu.ops import rasterizer_pallas as RP
         cfg = self.config
         interpret = jax.default_backend() != "tpu"
+        # static bound on the actor slots this config can ever populate:
+        # the geometry pack lays out [vehicle rows, pedestrian rows, zero
+        # padding], so the kernel only unrolls the head of the slot list
+        n_actors = (min(RP.K_ACTORS // 2, self.params.v_max)
+                    + min(RP.K_ACTORS // 2, self.params.p_max))
         return RP.render_cameras_banked(self.town, world,
                                         self.weather_params[world.weather_id],
                                         height=cfg.image_height,
                                         width=cfg.image_width,
                                         interpret=interpret,
-                                        return_depth=cfg.stack_depth)
+                                        return_depth=cfg.stack_depth,
+                                        n_actors=n_actors)
 
     def frame_obs(self, world: WorldState):
         vec = world_mod.vector_observation(world, self.params, self.town, self.routes)

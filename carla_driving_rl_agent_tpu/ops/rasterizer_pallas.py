@@ -90,7 +90,8 @@ def _lut_cached():
 
 
 def _render_kernel(geom_ref, dx_ref, dy_ref, dz_ref, u_ref, v_ref, vid_ref,
-                   out_ref):
+                   out_ref, *, n_actors: int = K_ACTORS,
+                   with_depth: bool = True):
     g = lambda i: geom_ref[0, i]
 
     ex, ey = g(_O_EGO), g(_O_EGO + 1)
@@ -196,8 +197,12 @@ def _render_kernel(geom_ref, dx_ref, dy_ref, dz_ref, u_ref, v_ref, vid_ref,
     road_px = tg_ok & (on_road | marking | crossing) & ~use_b
 
     # ---- actors (billboards, view-dependent projection) ----
+    # n_actors is the static count of slots that can ever be active for this
+    # env config (min(4, v_max) + min(4, p_max)); slots beyond it are zero
+    # rows in the geometry pack, so skipping them is exact (the stage-s1 /
+    # bench config drops 6 of 8 unrolled slots, ~30% of kernel ops)
     uu, vv, vid = u_ref[:], v_ref[:], vid_ref[:]
-    for k in range(K_ACTORS):
+    for k in range(n_actors):
         ax = g(_O_ACT + 8 * k)
         ay = g(_O_ACT + 8 * k + 1)
         ok = g(_O_ACT + 8 * k + 2)
@@ -247,11 +252,12 @@ def _render_kernel(geom_ref, dx_ref, dy_ref, dz_ref, u_ref, v_ref, vid_ref,
     out_ref[0, 0] = jnp.clip(r_, 0.0, 255.0)
     out_ref[0, 1] = jnp.clip(g_, 0.0, 255.0)
     out_ref[0, 2] = jnp.clip(b_, 0.0, 255.0)
-    # log-depth plane (rasterizer.depth_to_u8 encoding); the front-view
-    # masking to mirror the reference's single depth camera happens in
-    # tile_to_image
-    d_m = jnp.minimum(depth, R.MAX_DEPTH)
-    out_ref[0, 3] = jnp.log1p(d_m) * np.float32(255.0 / np.log1p(R.MAX_DEPTH))
+    if with_depth:
+        # log-depth plane (rasterizer.depth_to_u8 encoding); the front-view
+        # masking to mirror the reference's single depth camera happens in
+        # tile_to_image
+        d_m = jnp.minimum(depth, R.MAX_DEPTH)
+        out_ref[0, 3] = jnp.log1p(d_m) * np.float32(255.0 / np.log1p(R.MAX_DEPTH))
 
 
 def pack_geometry(inputs: R.RenderInputs) -> jax.Array:
@@ -377,13 +383,17 @@ def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
     return jnp.pad(geom, (0, GEOM_PAD - geom.shape[0])).astype(jnp.float32)
 
 
-def render_tile(geom: jax.Array, interpret: bool = False) -> jax.Array:
-    """Run the kernel for one world -> (4, 64, 128) float32 planes
-    (RGB + log-depth)."""
+def render_tile(geom: jax.Array, interpret: bool = False,
+                n_actors: int = K_ACTORS,
+                with_depth: bool = True) -> jax.Array:
+    """Run the kernel for one world -> (C, 64, 128) float32 planes
+    (RGB + optional log-depth; C = 4 or 3)."""
     lut = {k: jnp.asarray(v) for k, v in _lut_cached().items()}
+    n_planes = 4 if with_depth else 3
     return pl.pallas_call(
-        _render_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 4) + TILE, jnp.float32),
+        functools.partial(_render_kernel, n_actors=n_actors,
+                          with_depth=with_depth),
+        out_shape=jax.ShapeDtypeStruct((1, n_planes) + TILE, jnp.float32),
         in_specs=[
             pl.BlockSpec((1, GEOM_PAD), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -393,7 +403,7 @@ def render_tile(geom: jax.Array, interpret: bool = False) -> jax.Array:
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4) + TILE, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, n_planes) + TILE, memory_space=pltpu.VMEM),
         interpret=interpret,
     )(geom[None], lut["dx"], lut["dy"], lut["dz"], lut["u"], lut["v"],
       lut["vid"])[0]
@@ -429,17 +439,20 @@ def render_cameras_pallas(inputs: R.RenderInputs, height: int = 90,
                           return_depth: bool = False) -> jax.Array:
     """Drop-in replacement for rasterizer.render_cameras (single world)."""
     geom = pack_geometry(inputs)
-    planes = render_tile(geom, interpret=interpret)
+    planes = render_tile(geom, interpret=interpret, with_depth=return_depth)
     return tile_to_image(planes, out_h=height, out_w=width,
                          with_depth=return_depth)
 
 
 def render_cameras_banked(town, world, weather: jax.Array, height: int = 90,
                           width: int = 120, interpret: bool = False,
-                          return_depth: bool = False) -> jax.Array:
+                          return_depth: bool = False,
+                          n_actors: int = K_ACTORS) -> jax.Array:
     """Fast production path: cell-table geometry pack (no top_k, fused
-    bank gathers) + the same kernel."""
+    bank gathers) + the same kernel.  `n_actors` statically bounds the
+    unrolled actor loop to the slots this env config can populate."""
     geom = pack_geometry_banked(town, world, weather)
-    planes = render_tile(geom, interpret=interpret)
+    planes = render_tile(geom, interpret=interpret, n_actors=n_actors,
+                         with_depth=return_depth)
     return tile_to_image(planes, out_h=height, out_w=width,
                          with_depth=return_depth)
