@@ -159,3 +159,24 @@ def _seg_dist(p, seg):
     e = p1 - p0
     t = np.clip(np.dot(p - p0, e) / max(np.dot(e, e), 1e-9), 0, 1)
     return np.linalg.norm(p - (p0 + t * e))
+
+
+class TestActorSlotSpecialization:
+    def test_truncated_actor_loop_is_exact(self, inputs):
+        """n_actors = min(4,v_max)+min(4,p_max) must be pixel-exact vs the
+        full 8-slot unroll when the extra slots are zero rows (the geometry
+        pack lays out [vehicle rows, pedestrian rows, zero pad])."""
+        geom = RP.pack_geometry(inputs)  # 1 vehicle + 1 pedestrian -> rows 0,1
+        full = RP.render_tile(geom, interpret=True, n_actors=RP.K_ACTORS)
+        # v_max=1/p_max=1 config -> slots [veh, ped] are the first two of the
+        # actor region only when the pack used kv=1; pack_geometry uses
+        # kv=min(4, shape[0])=1 per kind here, so rows are [veh, ped, 0...]
+        trunc = RP.render_tile(geom, interpret=True, n_actors=2)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(trunc))
+
+    def test_depthless_tile_matches_rgb_planes(self, inputs):
+        geom = RP.pack_geometry(inputs)
+        with_d = RP.render_tile(geom, interpret=True, with_depth=True)
+        no_d = RP.render_tile(geom, interpret=True, with_depth=False)
+        assert no_d.shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(with_d[:3]), np.asarray(no_d))
