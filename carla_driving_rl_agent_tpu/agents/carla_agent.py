@@ -744,6 +744,18 @@ class CARLAgent:
             new_opt = dict(policy=op, value=ov, dynamics=od)
             return new_params, new_stats, new_opt, pl, vl
 
+        @jax.jit
+        def expert_log_prob(params, stats, obs):
+            # log-prob of the expert action under the current (old) policy;
+            # jitted — an eager forward costs ~25 ms/op over the remote
+            # tunnel, which would dominate the whole imitation run
+            feat, _ = self.network.dynamics_apply(params, stats, obs,
+                                                  training=False)
+            pol, _ = self.network.policy_apply(params, stats, feat,
+                                               training=False, old=True)
+            a01 = (obs["action"] + 1.0) / 2.0
+            return pol["dist"].log_prob(a01)
+
         rng = np.random.default_rng(seed)
         for epoch in range(epochs):
             for trace in trace_io.load_traces(traces_dir, shuffle=True, seed=seed):
@@ -778,14 +790,7 @@ class CARLAgent:
                     if "log_prob" in trace:
                         log_prob = jnp.asarray(trace["log_prob"][idx])
                     else:
-                        # expert trace: log-prob of the expert action under
-                        # the current (old) policy
-                        feat, _ = self.network.dynamics_apply(
-                            self.params, self.stats, obs, training=False)
-                        pol, _ = self.network.policy_apply(
-                            self.params, self.stats, feat, training=False, old=True)
-                        a01 = (jnp.asarray(trace["action"][idx]) + 1.0) / 2.0
-                        log_prob = pol["dist"].log_prob(a01)
+                        log_prob = expert_log_prob(self.params, self.stats, obs)
                     speed = jnp.asarray(
                         trace.get("speed", np.zeros(n))[idx]) / 100.0
                     similarity = jnp.asarray(
