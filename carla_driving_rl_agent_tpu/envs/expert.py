@@ -55,11 +55,11 @@ def expert_action(state: WorldState, params: WorldParams, town: TownDev,
     prof = BEHAVIORS[behaviour]
     pos = jnp.stack([state.x, state.y])
 
-    # steering: pure pursuit of a look-ahead route waypoint
-    r_xy = routes.xy[state.town_id, state.route_id]
+    # steering: pure pursuit of a look-ahead route waypoint (point gather —
+    # full-route gathers at batch scale are the TPU poison, see world.py)
     r_len = routes.length[state.town_id, state.route_id]
     target_idx = jnp.minimum(state.wp_idx + LOOKAHEAD, r_len - 1)
-    to_t = r_xy[target_idx] - pos
+    to_t = routes.xy[state.town_id, state.route_id, target_idx] - pos
     desired_yaw = jnp.arctan2(to_t[1], to_t[0])
     yaw_err = jnp.arctan2(jnp.sin(desired_yaw - state.yaw),
                           jnp.cos(desired_yaw - state.yaw))

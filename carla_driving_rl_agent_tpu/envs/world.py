@@ -177,6 +177,11 @@ def build_world_data(params: WorldParams) -> Tuple[TownDev, RoutesDev]:
 
 _route_fns = route_mod.make_route_functions(window=10)
 
+# Forward route window gathered per physics step: must cover the
+# update_index look-ahead (10) and the navigation feature's
+# new_idx + amount - 1 <= 9 + 4 reach.
+ROUTE_WINDOW = 16
+
 
 def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
                 routes: RoutesDev, episode: jax.Array | int = 0,
@@ -203,11 +208,11 @@ def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
     weather_id = w_ids[jax.random.randint(k_weather, (), 0, len(params.weather_ids))]
 
     route_id = jax.random.randint(k_route, (), 0, routes.xy.shape[1])
-    r_xy = routes.xy[town_id, route_id]
-    r_yaw = routes.yaw[town_id, route_id]
-
-    ego_xy = r_xy[0]
-    ego_yaw = r_yaw[0]
+    # point gathers, NOT routes.xy[town_id, route_id][0]: reset_world runs
+    # merged into EVERY auto-reset step, and a full-route gather per world
+    # per step is the dominant TPU cost (~1 gathered element/cycle)
+    ego_xy = routes.xy[town_id, route_id, 0]
+    ego_yaw = routes.yaw[town_id, route_id, 0]
 
     npc = traffic.init_npcs(k_npc, town, town_id, params.num_vehicles,
                             params.num_pedestrians, ego_xy,
@@ -276,14 +281,28 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
                             state.sim_time, jnp.stack([x, y]), v, yaw)
 
     # --- route following update (navigation/route.py:33-53) ---
-    r_xy = routes.xy[state.town_id, state.route_id]
-    r_yaw = routes.yaw[state.town_id, state.route_id]
+    # Gather only a short forward WINDOW of the route, not the whole (L, 2)
+    # polyline: TPU gathers run at ~1 element/cycle, so batch-scale
+    # full-route gathers (1024 worlds x 512 waypoints, every step) were the
+    # single largest physics cost, while the update only ever reads
+    # `window` forward waypoints.  The route functions are index-shift
+    # invariant: passing the window with a local idx of 0 and the remaining
+    # length reproduces the full-route results exactly (pinned by
+    # tests/test_route.py window-equivalence tests).
     r_len = routes.length[state.town_id, state.route_id]
+    rem = r_len - state.wp_idx                  # >= 1: wp_idx <= r_len - 1
+    offs = jnp.minimum(jnp.arange(ROUTE_WINDOW), rem - 1)
+    w_ids = state.wp_idx + offs
+    w_xy = routes.xy[state.town_id, state.route_id, w_ids]
+    w_yaw = routes.yaw[state.town_id, state.route_id, w_ids]
     pos = jnp.stack([x, y])
-    wp_idx = _route_fns["update_index"](r_xy, r_len, state.wp_idx, pos)
-    similarity = _route_fns["similarity"](r_yaw, wp_idx, yaw)
-    d_next = _route_fns["distance_to_next"](r_xy, wp_idx, pos)
-    d_dest = _route_fns["distance_to_destination"](r_xy, r_len, pos)
+    local_idx = _route_fns["update_index"](w_xy, rem,
+                                           jnp.zeros((), jnp.int32), pos)
+    wp_idx = (state.wp_idx + local_idx).astype(jnp.int32)
+    similarity = _route_fns["similarity"](w_yaw, local_idx, yaw)
+    d_next = _route_fns["distance_to_next"](w_xy, local_idx, pos)
+    end_xy = routes.xy[state.town_id, state.route_id, r_len - 1]
+    d_dest = jnp.linalg.norm(end_xy - pos)
 
     # --- collisions (core/carla_env.py:254-269) ---
     off_road = _off_road_distance(town, state.town_id, x, y)
@@ -401,12 +420,18 @@ def vehicle_features(state: WorldState) -> jax.Array:
 
 def navigation_features(state: WorldState, params: WorldParams,
                         routes: RoutesDev) -> jax.Array:
-    """N distances to the next route waypoints / N — core/carla_env.py:366-382."""
-    r_xy = routes.xy[state.town_id, state.route_id]
+    """N distances to the next route waypoints / N — core/carla_env.py:366-382.
+
+    Window-gathers only the `amount` forward waypoints (see the step_world
+    route-window note: batch-scale full-route gathers are the TPU poison)."""
+    amount = params.num_waypoints_for_feature
     r_len = routes.length[state.town_id, state.route_id]
+    rem = r_len - state.wp_idx
+    offs = jnp.minimum(jnp.arange(amount), rem - 1)
+    w_xy = routes.xy[state.town_id, state.route_id, state.wp_idx + offs]
     pos = jnp.stack([state.x, state.y])
     return _route_fns["next_waypoint_distances"](
-        r_xy, r_len, state.wp_idx, pos, params.num_waypoints_for_feature)
+        w_xy, rem, jnp.zeros((), jnp.int32), pos, amount)
 
 
 def vector_observation(state: WorldState, params: WorldParams, town: TownDev,

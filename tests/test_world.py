@@ -132,6 +132,41 @@ class TestWorld:
         assert total > 0.0, f"driving along route should earn reward, got {total}"
         assert float(state.similarity) > 0.7
 
+    def test_route_window_equivalence(self, world_setup):
+        """step_world's route-window gather must reproduce the full-route
+        (reference navigation/route.py:33-93) results exactly."""
+        params, town, routes = world_setup
+        fns = route_mod.make_route_functions(window=10)
+        state = world_mod.reset_world(jax.random.PRNGKey(7), params, town, routes)
+        step = jax.jit(lambda s, a: world_mod.step_world(s, a, params, town, routes))
+        r_xy = routes.xy[state.town_id, state.route_id]
+        r_yaw = routes.yaw[state.town_id, state.route_id]
+        r_len = routes.length[state.town_id, state.route_id]
+        for _ in range(60):
+            wy = r_yaw[state.wp_idx]
+            err = float(jnp.arctan2(jnp.sin(wy - state.yaw), jnp.cos(wy - state.yaw)))
+            a = jnp.array([-0.3, np.clip(2.0 * err, -1, 1)], jnp.float32)
+            pre_idx = state.wp_idx
+            state, reward, term, trunc, info = step(state, a)
+            pos = jnp.stack([state.x, state.y])
+            # the windowed advance must equal the full-route scan from the
+            # same pre-step index
+            full_idx = fns["update_index"](r_xy, r_len, pre_idx, pos)
+            assert int(full_idx) == int(state.wp_idx)
+            assert float(info["similarity"]) == pytest.approx(
+                float(jnp.cos(state.yaw - r_yaw[state.wp_idx])), abs=1e-5)
+            assert float(info["distance_to_next_waypoint"]) == pytest.approx(
+                float(jnp.linalg.norm(r_xy[state.wp_idx] - pos)), abs=1e-4)
+            assert float(info["distance_to_destination"]) == pytest.approx(
+                float(jnp.linalg.norm(r_xy[r_len - 1] - pos)), abs=1e-4)
+            nav_w = world_mod.navigation_features(state, params, routes)
+            nav_full = fns["next_waypoint_distances"](
+                r_xy, r_len, state.wp_idx, pos, params.num_waypoints_for_feature)
+            np.testing.assert_allclose(np.asarray(nav_w), np.asarray(nav_full),
+                                       atol=1e-5)
+            if bool(term) or bool(trunc):
+                break
+
     def test_reward_formula_no_collision(self, world_setup):
         params, town, routes = world_setup
         state = world_mod.reset_world(jax.random.PRNGKey(2), params, town, routes)
