@@ -9,10 +9,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _mark(msg):
+    """Progress marker on stderr (stdout stays one JSON line): lets a
+    timed-out run show whether it died in town build, compile, or execute."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 NUM_WORLDS = 1024
 STEPS_PER_CALL = 32      # divisible by past_obs_freq=4 (block stepping)
@@ -30,6 +38,7 @@ def main():
                           v_max=1, p_max=1),
         image_height=90, image_width=120, render_mode="pallas",
         time_horizon=4, past_obs_freq=4))
+    _mark("env built (town bank on host)")
 
     consts = env.consts
 
@@ -38,6 +47,7 @@ def main():
             return env.reset_batch(key, NUM_WORLDS)
 
     states, _ = jax.jit(reset_all)(jax.random.PRNGKey(0), consts)
+    _mark("reset_batch compiled + dispatched")
 
     block = env.config.past_obs_freq
 
@@ -78,14 +88,17 @@ def main():
     step_fn = jax.jit(rollout_chunk, donate_argnums=(0,))
 
     k = jax.random.PRNGKey(1)
-    for _ in range(WARMUP_CALLS):
+    for i in range(WARMUP_CALLS):
         states, k, probe = step_fn(states, k, consts)
+        _mark(f"warmup call {i} dispatched")
     float(probe)
+    _mark("warmup probe fetched (rollout chunk compiled + executed)")
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_CALLS):
+    for i in range(TIMED_CALLS):
         states, k, probe = step_fn(states, k, consts)
         float(probe)   # scalar fetch: forces the chunk to fully execute
+        _mark(f"timed call {i} done")
     dt = time.perf_counter() - t0
 
     total_steps = NUM_WORLDS * STEPS_PER_CALL * TIMED_CALLS
@@ -127,7 +140,9 @@ def train_bench() -> float:
         num_envs=num_envs, rollout_steps=steps, batch_size=64, seed=0),
         log_mode=None)
 
+    _mark("train_bench: agent built, compiling train step")
     env_states, _ = agent.learn(num_updates=1)        # compile + warmup
+    _mark("train_bench: warmup update done")
     t0 = _time.perf_counter()
     env_states, history = agent.learn(num_updates=2, env_states=env_states)
     dt = _time.perf_counter() - t0                    # learn() fetches host
