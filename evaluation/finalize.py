@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 
 from aggregate import aggregate
 
@@ -60,6 +62,15 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"[finalize] wrote {path}")
+
+    # refresh the comparison charts (evaluation/plots.py); never let a
+    # plotting failure break the finalize step of a long pipeline
+    try:
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "evaluation", "plots.py")],
+                       check=True, timeout=120)
+    except Exception as e:  # noqa: BLE001
+        print(f"[finalize] plots refresh failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
