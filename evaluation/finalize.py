@@ -25,39 +25,42 @@ from aggregate import aggregate
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 AGENTS = {
-    "curriculum": "stage-s5",
+    "curriculum": ("stage-s5",),
     # the functioning no-curriculum control (sharp recipe minus curriculum,
     # same 390-update budget): the parity-objective control learns nothing
     # (constant entropy bonus freezes the Beta policy — see main.py
     # sharp_recipe docstring), so the honest curriculum-vs-standard
-    # comparison uses this one.  The parity run stays as standard-parity.
-    "standard": "stage-standard-sharp",
-    "standard-parity": "stage-standard",
-    "untrained": "untrained-control",
+    # comparison uses this one once its sweep exists; until then the parity
+    # run fills the slot (also always published as standard-parity).
+    "standard": ("stage-standard-sharp", "stage-standard"),
+    "standard-parity": ("stage-standard",),
+    "untrained": ("untrained-control",),
     # TPU-new: curriculum retrained with the 'sharp' recipe (main.py --sharp);
     # included only once its sweep exists
-    "curriculum-sharp": "stage-s5-sharp",
+    "curriculum-sharp": ("stage-s5-sharp",),
 }
 
 
 def main() -> None:
     out = {}
-    for agent, weights in AGENTS.items():
-        eval_dir = os.path.join(REPO, "weights", weights, "evaluation")
-        if not os.path.isdir(eval_dir):
-            print(f"[finalize] {agent}: {eval_dir} missing, skipped")
-            continue
-        agg = aggregate(eval_dir, weights=weights)
-        agg.pop("__global__", None)
-        if len(agg) < 48:
-            # partial sweeps stay out of the headline file (they'd read as
-            # full-protocol numbers); evaluation/compare.py --agents shows
-            # them with an explicit scenario count instead
-            print(f"[finalize] {agent}: only {len(agg)}/48 scenarios "
-                  f"from {weights}, excluded")
-            continue
-        out[agent] = agg
-        print(f"[finalize] {agent}: {len(agg)} scenarios from {weights}")
+    for agent, candidates in AGENTS.items():
+        for weights in candidates:
+            eval_dir = os.path.join(REPO, "weights", weights, "evaluation")
+            if not os.path.isdir(eval_dir):
+                print(f"[finalize] {agent}: {eval_dir} missing, skipped")
+                continue
+            agg = aggregate(eval_dir, weights=weights)
+            agg.pop("__global__", None)
+            if len(agg) < 48:
+                # partial sweeps stay out of the headline file (they'd read
+                # as full-protocol numbers); evaluation/compare.py --agents
+                # shows them with an explicit scenario count instead
+                print(f"[finalize] {agent}: only {len(agg)}/48 scenarios "
+                      f"from {weights}, excluded")
+                continue
+            out[agent] = agg
+            print(f"[finalize] {agent}: {len(agg)} scenarios from {weights}")
+            break
     path = os.path.join(REPO, "evaluation", "evaluation.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
