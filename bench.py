@@ -5,7 +5,11 @@ worlds with 90x120x3-per-camera rendered observations (stage-s1-like world).
 The reference has no throughput baseline (single CARLA env, wall-clock bound
 by UE4); vs_baseline is measured against the 1M steps/s north-star target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the JSON metric line {"metric", "value", "unit", "vs_baseline"} as
+soon as the env measurement completes, then (if the secondary train bench
+finishes inside its wall-clock bound) an enriched copy of the SAME line
+with train_env_steps_per_sec added — first and last stdout lines carry the
+same headline value, whichever the driver parses.
 """
 
 import json
@@ -104,15 +108,39 @@ def main():
     total_steps = NUM_WORLDS * STEPS_PER_CALL * TIMED_CALLS
     sps = total_steps / dt
 
-    extra = {}
-    try:
-        extra["train_env_steps_per_sec"] = round(train_bench(), 1)
-    except Exception as e:              # never let the train bench kill the
-        extra["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]  # headline metric
+    def emit(**extra):
+        print(json.dumps(dict(metric="env_steps_per_sec_rendered_1024w",
+                              value=round(sps, 1), unit="steps/s",
+                              vs_baseline=round(sps / 1_000_000.0, 4),
+                              **extra)), flush=True)
 
-    print(json.dumps(dict(metric="env_steps_per_sec_rendered_1024w",
-                          value=round(sps, 1), unit="steps/s",
-                          vs_baseline=round(sps / 1_000_000.0, 4), **extra)))
+    # the headline metric is already measured — emit it NOW so a wedged
+    # worker during the (secondary) train bench can't lose it, then emit an
+    # enriched copy of the same line if the train bench completes
+    emit()
+
+    # The remote worker can wedge between programs (observed: device ops
+    # hang forever at ~0%% CPU); a hung train bench must not block the
+    # process, so it runs on a daemon thread with a hard wall-clock bound.
+    import threading
+    result = {}
+
+    def run_train_bench():
+        try:
+            result["train_env_steps_per_sec"] = round(train_bench(), 1)
+        except Exception as e:          # never let the train bench kill the
+            result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    t = threading.Thread(target=run_train_bench, daemon=True)
+    t.start()
+    t.join(timeout=900)
+    if t.is_alive():
+        _mark("train_bench still running at 900 s — abandoning (wedged "
+              "worker); env metric already emitted")
+        emit(train_bench_error="timeout after 900s (worker wedge?)")
+        import os
+        os._exit(0)                     # daemon thread blocks a clean exit
+    emit(**result)
 
 
 def train_bench() -> float:

@@ -83,6 +83,16 @@ class CARLAgentConfig:
     # Default follows the reference's own BASE objective (stored actions,
     # rl/agents/ppo.py:309-358); set True for strict CARLA-variant parity.
     resample_actions: bool = False
+    # Device-resident imitation (TPU-native replacement for the reference's
+    # collect-to-npz-then-imitate round trip, core/learning.py:196-227):
+    # rollout actions come from the privileged expert (envs/expert.py) with
+    # behaviours mixed across worlds, log-probs/values from the current
+    # nets, and the SAME fused update consumes the trajectory — PPO-on-
+    # expert-actions with real value baselines (the file-trace `imitate`
+    # uses zeros).  No host transfer, no trace files.
+    expert_rollout: bool = False
+    expert_behaviour_mix: Tuple[str, ...] = ("cautious", "normal",
+                                             "aggressive")
     # network spec (reference core/carla_agent.py:61-68)
     network: Dict[str, Any] = field(default_factory=dict)
     compute_dtype: str = "float32"
@@ -246,7 +256,41 @@ class CARLAgent:
             key, k_roll, k_shuffle_p, k_shuffle_v, k_mb = jax.random.split(key, 5)
 
             # ---- rollout (old policy inference; core/networks.py:181-193) ----
-            if cfg.rollout_block:
+            if cfg.expert_rollout:
+                # device-resident imitation: expert actions, old-policy
+                # log-probs, value baselines — same Trajectory, same update
+                from carla_driving_rl_agent_tpu.envs import expert as expert_mod
+                order = ("cautious", "normal", "aggressive")
+                mix = jnp.asarray([order.index(b)
+                                   for b in cfg.expert_behaviour_mix])
+                ids = mix[jnp.arange(cfg.num_envs) % mix.shape[0]]
+                profiles = expert_mod.behaviour_profiles(ids)  # dict of (B,)
+
+                def expert_fn(states):
+                    return jax.vmap(
+                        lambda w, sf, hd, bg, sd: expert_mod.expert_action(
+                            w, env.params, env.town, env.routes,
+                            ignore_traffic_light=True,
+                            profile=dict(speed_factor=sf, hazard_distance=hd,
+                                         brake_gain=bg, speed_decrease=sd))
+                    )(states.world, profiles["speed_factor"],
+                      profiles["hazard_distance"], profiles["brake_gain"],
+                      profiles["speed_decrease"])
+
+                def predict_lp(net_in, action01):
+                    feat, _ = net.dynamics_apply(params, stats, net_in,
+                                                 training=False)
+                    pol, _ = net.policy_apply(params, stats, feat,
+                                              training=False, old=True)
+                    val, _ = net.value_apply(params, stats, feat,
+                                             training=False)
+                    return dict(log_prob=pol["dist"].log_prob(action01),
+                                value=val["value"])
+
+                env_states, traj, final_obs = rollout_mod.run_rollout(
+                    env, predict_lp, env_states, k_roll, cfg.rollout_steps,
+                    expert_fn=expert_fn)
+            elif cfg.rollout_block:
                 assert cfg.repeat_action == 1, \
                     "block rollout composes with repeat_action=1 only"
 

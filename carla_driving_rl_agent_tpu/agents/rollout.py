@@ -40,13 +40,24 @@ class Trajectory(NamedTuple):
 
 
 def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
-                key: jax.Array, num_steps: int, repeat_action: int = 1):
+                key: jax.Array, num_steps: int, repeat_action: int = 1,
+                expert_fn: Callable = None):
     """Collect `num_steps` lock-step transitions from all worlds.
 
     predict_fn(obs_prefixed, key) -> dict(action, log_prob, value, ...), the
     inference path of the network (old policy — reference
     `core/networks.py:181-193`).
     Returns (new_env_states, Trajectory, final_obs).
+
+    With `expert_fn` (device-resident imitation: the TPU-native replacement
+    for the reference's collect-to-npz-then-imitate round trip,
+    `core/learning.py:196-227`), actions come from the privileged expert —
+    expert_fn(env_states) -> (B, 2) env actions in [-1, 1] — and predict_fn
+    takes (obs_prefixed, action01) and returns the OLD policy's log_prob of
+    that action plus the value head outputs.  The Trajectory is
+    shape/semantics-identical, so the whole fused update path consumes it
+    unchanged (PPO-on-expert-actions, the reference's `imitate`
+    `rl/agents/ppo.py:415-462` with real value baselines instead of zeros).
     """
     time_h = env.config.time_horizon
 
@@ -63,9 +74,12 @@ def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
         obs = env.observe(states)
         net_in = {f"state_{k}": v for k, v in obs.items()}
         net_in["action"] = states.last_action
-        pred = predict_fn(net_in, k_act)
-
-        action01 = pred["action"]
+        if expert_fn is None:
+            pred = predict_fn(net_in, k_act)
+            action01 = pred["action"]
+        else:
+            action01 = (expert_fn(states) + 1.0) / 2.0
+            pred = predict_fn(net_in, action01)
         action_env = convert_action(action01)
 
         def do_step(s):

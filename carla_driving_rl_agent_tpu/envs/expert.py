@@ -46,13 +46,30 @@ STEER_GAIN = 1.8
 STEER_CAP = 0.8          # reference controller.py caps steer at 0.8
 LOOKAHEAD = 3            # route waypoints ahead for the steering target
 
+_PROFILE_KEYS = ("speed_factor", "hazard_distance", "brake_gain",
+                 "speed_decrease")
+
+
+def behaviour_profiles(behaviour_ids: jax.Array) -> dict:
+    """Per-world behaviour profiles as TRACED arrays: gather each profile
+    field from the (3,) cautious/normal/aggressive table by id.  Lets one
+    compiled rollout mix behaviours across worlds (the reference cycles
+    behaviours across collect runs, `core/learning.py:196-212`) instead of
+    recompiling per behaviour string."""
+    order = ("cautious", "normal", "aggressive")
+    return {k: jnp.asarray([BEHAVIORS[b][k] for b in order])[behaviour_ids]
+            for k in _PROFILE_KEYS}
+
 
 def expert_action(state: WorldState, params: WorldParams, town: TownDev,
                   routes: RoutesDev, behaviour: str = "normal",
-                  ignore_traffic_light: bool = True) -> jax.Array:
+                  ignore_traffic_light: bool = True,
+                  profile: dict | None = None) -> jax.Array:
     """Expert action in the env's [-1, 1]^2 action space (throttle-as-desired-
-    speed encoding, so a0 = 2 * desired_kmh / 100 - 1)."""
-    prof = BEHAVIORS[behaviour]
+    speed encoding, so a0 = 2 * desired_kmh / 100 - 1).  `profile` (traced
+    scalars, see behaviour_profiles) overrides the static `behaviour` table
+    row when given."""
+    prof = profile if profile is not None else BEHAVIORS[behaviour]
     pos = jnp.stack([state.x, state.y])
 
     # steering: pure pursuit of a look-ahead route waypoint (point gather —

@@ -38,6 +38,9 @@ AGENTS = {
     # TPU-new: curriculum retrained with the 'sharp' recipe (main.py --sharp);
     # included only once its sweep exists
     "curriculum-sharp": ("stage-s5-sharp",),
+    # TPU-new: expert-imitation warm start + sharp RL fine-tune
+    # (scripts/imitation_probe.py -> scripts/imitation_chain.py)
+    "imitation": ("imitation-rl",),
 }
 
 

@@ -1,20 +1,30 @@
-"""Imitation warm-start probe (the VERDICT's third collision-gap lever).
+"""Imitation warm-start probe (the VERDICT's third collision-gap lever) —
+device-resident version.
 
 The diagnosed failure of every RL agent so far is residual Beta steering
 noise walking the car off the road; the privileged expert (envs/expert.py)
 drives Town03 with ~0 collisions solo and <0.2 in dense traffic.  This
-probe measures how far pure imitation (reference-parity PPO-on-traces,
-`core/learning.py:196-227` / `rl/agents/ppo.py:415-462`) gets on the
-Town03 gate before any RL fine-tuning:
+probe measures how far imitation gets on the Town03 gate before any RL
+fine-tuning.
 
-  1. collect expert traces (3 behaviours x {no, regular} traffic, Town03,
-     the 7 light training weathers),
-  2. imitation-train a sharp-recipe agent (decaying entropy + Beta head
-     guard + gamma/lambda fix) from scratch on the traces,
-  3. gate-evaluate (Town03, train weathers, no + dense, 50 trials).
+Round-2 rework: the first attempt used the reference-parity pipeline
+(collect npz traces -> imitate from files, `core/learning.py:196-227`) at
+full scale on the remote TPU — and stalled in `jax.device_get`: each
+collect config pulls the full stacked image tensor (~3 GB at T=4) through
+the tunnel and zlib-compresses it on the single host vCPU.  The fused path
+(`CARLAgentConfig.expert_rollout=True`) keeps everything on device: expert
+actions drive the rollout (behaviours mixed across worlds), the current
+nets supply log-probs/values, and the standard fused PPO update consumes
+the trajectory.  No host transfer, no trace files.  The file-based parity
+pipeline remains in `curriculum/imitation.py` (used by tests and small
+CPU-scale collections).
 
-Usage: python scripts/imitation_probe.py [--tiny] [--skip-collect]
-  --tiny: CPU smoke sizes (4 envs, 24 steps, 1 behaviour, 4 trials).
+  1. imitation-train a sharp-recipe agent from scratch with expert rollouts
+     (Town03, regular traffic 50v+50p, the 7 light training weathers),
+  2. gate-evaluate (Town03, train weathers, no + dense, 50 trials).
+
+Usage: python scripts/imitation_probe.py [--tiny] [--updates N] [--skip-train]
+  --tiny: CPU smoke sizes (4 envs, 8 steps, 2 updates, 4 trials).
 """
 
 import argparse
@@ -28,41 +38,37 @@ os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NAME = "imitation-probe"
 
 
-def collect(tiny: bool):
-    from carla_driving_rl_agent_tpu.curriculum.imitation import collect_experience
-    from carla_driving_rl_agent_tpu.curriculum.stages import TRAIN_WEATHERS
+def fused_train(tiny: bool, updates: int):
+    from main import sharp_recipe, acquire_run_lock
+    from carla_driving_rl_agent_tpu.agents.carla_agent import (
+        CARLAgent, CARLAgentConfig)
+    from carla_driving_rl_agent_tpu.curriculum.stages import (
+        TRAIN_WEATHERS, build_env, define_env)
 
-    behaviours = ("normal",) if tiny else ("cautious", "normal", "aggressive")
-    presets = ({"no": None} if tiny
-               else {"no": None,
-                     "regular": dict(vehicles=50, pedestrians=50)})
-    episodes = 4 if tiny else 16
-    timesteps = 24 if tiny else 512
-    total = 0
-    for behaviour in behaviours:
-        for preset, spawn in presets.items():
-            n = collect_experience(
-                episodes=episodes, timesteps=timesteps, threshold=0.0,
-                traces_dir="traces", name=NAME, behaviour=behaviour,
-                num_envs=4 if tiny else 16,
-                town="Town03", random_weathers=list(TRAIN_WEATHERS),
-                spawn=spawn, max_timesteps=timesteps)
-            print(f"[collect] {behaviour}/{preset}: {n} traces", flush=True)
-            total += n
-    return total
+    os.makedirs(os.path.join("weights", NAME), exist_ok=True)
+    acquire_run_lock(os.path.join("weights", NAME))
 
-
-def imitate(tiny: bool):
-    from main import sharp_recipe
-    from carla_driving_rl_agent_tpu.curriculum.imitation import imitation_learning
-
-    losses = imitation_learning(
-        batch_size=8 if tiny else 64, lr=3e-4,
-        epochs=1 if tiny else 3, load=False, name=NAME,
-        time_horizon=4, traces_dir="traces", **sharp_recipe())
-    tail = [(round(float(p), 4), round(float(v), 4)) for p, v in losses[-5:]]
-    print(f"[imitate] {len(losses)} minibatch updates, last-5 (policy, value) "
-          f"losses: {tail}", flush=True)
+    env = build_env(**define_env(
+        town="Town03",
+        spawn=None if tiny else dict(vehicles=50, pedestrians=50),
+        random_weathers=list(TRAIN_WEATHERS),
+        max_timesteps=24 if tiny else 512))
+    cfg = CARLAgentConfig(
+        num_envs=4 if tiny else 32,
+        rollout_steps=8 if tiny else 128,
+        batch_size=8 if tiny else 64,
+        policy_lr=3e-4, value_lr=3e-4, dynamics_lr=3e-4,
+        expert_rollout=True, seed=0, **sharp_recipe())
+    agent = CARLAgent(env, cfg, name=NAME)
+    _, history = agent.learn(num_updates=updates)
+    agent.save()
+    tail = {k: round(float(v), 4)
+            for k, v in history[-1].items()
+            if k in ("reward_mean", "loss_policy", "loss_value", "entropy",
+                     "collision_rate", "similarity_mean")}
+    print(f"[imitate-fused] {updates} updates "
+          f"({updates * cfg.num_envs * cfg.rollout_steps} expert "
+          f"transitions), last-update metrics: {tail}", flush=True)
 
 
 def gate(tiny: bool):
@@ -89,7 +95,8 @@ def gate(tiny: bool):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--skip-collect", action="store_true")
+    ap.add_argument("--updates", type=int, default=40)
+    ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
     if args.tiny:
         # CPU smoke must not attach the (possibly busy) remote TPU; env vars
@@ -97,7 +104,6 @@ if __name__ == "__main__":
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
-    if not args.skip_collect:
-        collect(args.tiny)
-    imitate(args.tiny)
+    if not args.skip_train:
+        fused_train(args.tiny, 2 if args.tiny else args.updates)
     print(json.dumps({"gate": gate(args.tiny)}), flush=True)

@@ -98,6 +98,83 @@ class TestCollectAndImitate:
         assert len(losses) > 0
         assert all(np.isfinite(l[0]) and np.isfinite(l[1]) for l in losses)
 
+    def test_fused_expert_rollout_is_deterministic_and_expert_driven(
+            self, tmp_path):
+        """expert_rollout=True collects expert actions (no sampling noise:
+        two rollouts from the same state/key are identical, unlike policy
+        rollouts) with finite old-policy log-probs."""
+        import jax
+        import jax.numpy as jnp
+        from carla_driving_rl_agent_tpu.agents import rollout as rollout_mod
+        from carla_driving_rl_agent_tpu.envs import expert as ex
+
+        stage = make_tiny_stage(tmp_path, max_timesteps=24)
+        stage.init()
+        agent, env = stage.agent, stage.env
+        ids = jnp.asarray([0, 1, 2, 0])
+        profs = ex.behaviour_profiles(ids)
+
+        def expert_fn(states):
+            return jax.vmap(
+                lambda w, sf, hd, bg, sd: ex.expert_action(
+                    w, env.params, env.town, env.routes,
+                    profile=dict(speed_factor=sf, hazard_distance=hd,
+                                 brake_gain=bg, speed_decrease=sd))
+            )(states.world, profs["speed_factor"], profs["hazard_distance"],
+              profs["brake_gain"], profs["speed_decrease"])
+
+        def predict_lp(net_in, action01):
+            feat, _ = agent.network.dynamics_apply(
+                agent.params, agent.stats, net_in, training=False)
+            pol, _ = agent.network.policy_apply(
+                agent.params, agent.stats, feat, training=False, old=True)
+            val, _ = agent.network.value_apply(
+                agent.params, agent.stats, feat, training=False)
+            return dict(log_prob=pol["dist"].log_prob(action01),
+                        value=val["value"])
+
+        states, _ = jax.jit(lambda k: env.reset_batch(k, 4))(
+            jax.random.PRNGKey(0))
+        run = jax.jit(lambda s, k: rollout_mod.run_rollout(
+            env, predict_lp, s, k, num_steps=6, expert_fn=expert_fn))
+        _, t1, _ = run(states, jax.random.PRNGKey(1))
+        _, t2, _ = run(states, jax.random.PRNGKey(2))  # different key
+        assert np.allclose(np.asarray(t1.action), np.asarray(t2.action)), \
+            "expert actions must not depend on the sampling key"
+        assert np.all(np.isfinite(np.asarray(t1.log_prob)))
+        assert np.asarray(t1.action).min() >= 0.0
+        assert np.asarray(t1.action).max() <= 1.0
+        # same state, different profile: cautious must never request more
+        # speed than aggressive (speed_factor/hazard ramp/TTC all monotone)
+        def acts(profile_id):
+            p = ex.behaviour_profiles(jnp.full((4,), profile_id))
+            return np.asarray(jax.vmap(
+                lambda w, sf, hd, bg, sd: ex.expert_action(
+                    w, env.params, env.town, env.routes,
+                    profile=dict(speed_factor=sf, hazard_distance=hd,
+                                 brake_gain=bg, speed_decrease=sd))
+            )(states.world, p["speed_factor"], p["hazard_distance"],
+              p["brake_gain"], p["speed_decrease"]))
+
+        assert np.all(acts(0)[:, 0] <= acts(2)[:, 0] + 1e-6)
+
+    def test_learn_with_expert_rollout_trains_and_drives_well(self, tmp_path):
+        """One fused imitation update: finite losses and expert-quality
+        rollout stats (the recorded trajectory is the expert's driving)."""
+        cfg = dict(TINY)
+        cfg["expert_rollout"] = True
+        agent_args = st.define_agent(name="fused-imit",
+                                     weights_dir=str(tmp_path), seed=3, **cfg)
+        stage = st.Stage(agent=agent_args, environment=dict(TINY_ENV),
+                         name="fused-imit",
+                         learning=dict(agent=dict(episodes=1, timesteps=48)))
+        stage.init()
+        _, history = stage.agent.learn(num_updates=2)
+        last = history[-1]
+        assert all(np.isfinite(v) for v in last.values())
+        assert last["similarity_mean"] > 0.7, \
+            f"expert rollout should track the route: {last}"
+
     def test_network_collect_traces_have_log_probs(self, tmp_path):
         stage = make_tiny_stage(tmp_path, max_timesteps=24)
         stage.init()
