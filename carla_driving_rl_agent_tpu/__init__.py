@@ -38,6 +38,20 @@ try:
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 
+# RNG implementation knob. The env step splits keys several times per world
+# per tick (step_world, NPC tick, and the reset branch merged into every
+# auto-reset step), and threefry splits are a large share of the physics
+# cost at 1024 worlds. CDRL_PRNG=unsafe_rbg switches key derivation to the
+# TPU-native RngBitGenerator path (cheap splits; the right impl under pjit
+# too). Not a parity concern: the reference draws env randomness from
+# numpy/TF RNGs, so only the stream differs, never the behavior contract.
+try:
+    _prng = _os.environ.get("CDRL_PRNG", "")
+    if _prng in ("rbg", "unsafe_rbg", "threefry2x32"):
+        _jax.config.update("jax_default_prng_impl", _prng)
+except Exception:  # pragma: no cover - knob is best-effort
+    pass
+
 from carla_driving_rl_agent_tpu.utils import math as math_utils  # noqa: F401
 
 
