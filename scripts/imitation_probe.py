@@ -38,15 +38,16 @@ os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NAME = "imitation-probe"
 
 
-def fused_train(tiny: bool, updates: int):
+def fused_train(tiny: bool, updates: int, name: str = NAME,
+                mix: tuple = ("cautious", "normal", "aggressive")):
     from main import sharp_recipe, acquire_run_lock
     from carla_driving_rl_agent_tpu.agents.carla_agent import (
         CARLAgent, CARLAgentConfig)
     from carla_driving_rl_agent_tpu.curriculum.stages import (
         TRAIN_WEATHERS, build_env, define_env)
 
-    os.makedirs(os.path.join("weights", NAME), exist_ok=True)
-    acquire_run_lock(os.path.join("weights", NAME))
+    os.makedirs(os.path.join("weights", name), exist_ok=True)
+    acquire_run_lock(os.path.join("weights", name))
 
     env = build_env(**define_env(
         town="Town03",
@@ -58,8 +59,9 @@ def fused_train(tiny: bool, updates: int):
         rollout_steps=8 if tiny else 128,
         batch_size=8 if tiny else 64,
         policy_lr=3e-4, value_lr=3e-4, dynamics_lr=3e-4,
-        expert_rollout=True, seed=0, **sharp_recipe())
-    agent = CARLAgent(env, cfg, name=NAME)
+        expert_rollout=True, expert_behaviour_mix=tuple(mix),
+        seed=0, **sharp_recipe())
+    agent = CARLAgent(env, cfg, name=name)
     _, history = agent.learn(num_updates=updates)
     agent.save()
     tail = {k: round(float(v), 4)
@@ -71,7 +73,7 @@ def fused_train(tiny: bool, updates: int):
           f"transitions), last-update metrics: {tail}", flush=True)
 
 
-def gate(tiny: bool):
+def gate(tiny: bool, name: str = NAME):
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
 
     trials = 4 if tiny else 50
@@ -80,8 +82,8 @@ def gate(tiny: bool):
     for traffic in ("no",) if tiny else ("no", "dense"):
         learning.evaluate(mode="train", town="Town03", seeds=[42],
                           traffic=traffic, steps=steps, trials=trials,
-                          weights=NAME, num_envs=max(8, trials))
-        f = (f"weights/{NAME}/evaluation/{NAME}-train-{steps}-{trials}-"
+                          weights=name, num_envs=max(8, trials))
+        f = (f"weights/{name}/evaluation/{name}-train-{steps}-{trials}-"
              f"Town03-{traffic}-42.json")
         d = json.load(open(f))
         out[traffic] = {k: round(d[k], 3) for k in
@@ -97,6 +99,11 @@ if __name__ == "__main__":
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--updates", type=int, default=40)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--name", default=NAME)
+    ap.add_argument("--mix", default="cautious,normal,aggressive",
+                    help="comma list of expert behaviours cycled across "
+                         "worlds (v2 probe: lean aggressive for a faster "
+                         "imitation target)")
     args = ap.parse_args()
     if args.tiny:
         # CPU smoke must not attach the (possibly busy) remote TPU; env vars
@@ -105,5 +112,7 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
     if not args.skip_train:
-        fused_train(args.tiny, 2 if args.tiny else args.updates)
-    print(json.dumps({"gate": gate(args.tiny)}), flush=True)
+        fused_train(args.tiny, 2 if args.tiny else args.updates,
+                    name=args.name,
+                    mix=tuple(args.mix.split(",")))
+    print(json.dumps({"gate": gate(args.tiny, name=args.name)}), flush=True)
