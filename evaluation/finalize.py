@@ -38,9 +38,10 @@ AGENTS = {
     # TPU-new: curriculum retrained with the 'sharp' recipe (main.py --sharp);
     # included only once its sweep exists
     "curriculum-sharp": ("stage-s5-sharp",),
-    # TPU-new: expert-imitation warm start + sharp RL fine-tune
-    # (scripts/imitation_probe.py -> scripts/imitation_chain.py)
-    "imitation": ("imitation-rl",),
+    # TPU-new: expert-imitation warm start (scripts/imitation_probe.py,
+    # device-resident PPO-on-expert-actions) and its sharp RL fine-tune
+    # (scripts/imitation_chain.py); first candidate with a FULL sweep wins
+    "imitation": ("imitation-probe-v2", "imitation-probe", "imitation-rl"),
 }
 
 
