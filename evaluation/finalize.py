@@ -40,8 +40,10 @@ AGENTS = {
     "curriculum-sharp": ("stage-s5-sharp",),
     # TPU-new: expert-imitation warm start (scripts/imitation_probe.py,
     # device-resident PPO-on-expert-actions) and its sharp RL fine-tune
-    # (scripts/imitation_chain.py); first candidate with a FULL sweep wins
-    "imitation": ("imitation-probe-v2", "imitation-probe", "imitation-rl"),
+    # (scripts/imitation_finetune.py snapshot-gated pick); first candidate
+    # with a FULL sweep wins
+    "imitation": ("imitation-final", "imitation-probe-v2", "imitation-probe",
+                  "imitation-rl"),
 }
 
 
