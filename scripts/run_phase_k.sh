@@ -36,16 +36,18 @@ P
 )
 echo "=== fine-tune source: $PICK ==="
 
+# ablation first: 10 minutes of TPU buys the optimization pass a 4-hour
+# head start while the fine-tune + sweep occupy the chip
+timeout 1800 python scripts/bench_parts.py > logs/r2s2-bench-parts.log 2>&1
+echo "=== $(date -u +%H:%M:%S) bench_parts rc=$? ==="
+grep -h '"summary"' logs/r2s2-bench-parts.log | tail -1
+sleep 60
+
 timeout 10800 python scripts/imitation_finetune.py --src "$PICK" \
   > logs/r2s2-finetune.log 2>&1
 rc=$?
 echo "=== $(date -u +%H:%M:%S) finetune rc=$rc ==="
 grep -h "\[gate\|\[pick" logs/r2s2-finetune.log | tail -14
-sleep 60
-
-timeout 1800 python scripts/bench_parts.py > logs/r2s2-bench-parts.log 2>&1
-echo "=== $(date -u +%H:%M:%S) bench_parts rc=$? ==="
-grep -h '"summary"' logs/r2s2-bench-parts.log | tail -1
 sleep 60
 
 if [ -d weights/imitation-final ]; then
