@@ -29,7 +29,7 @@ def _mark(msg):
 NUM_WORLDS = 1024
 STEPS_PER_CALL = 32      # divisible by past_obs_freq=4 (block stepping)
 WARMUP_CALLS = 2
-TIMED_CALLS = 5
+TIMED_CALLS = 10
 
 
 def main():
@@ -98,12 +98,19 @@ def main():
     float(probe)
     _mark("warmup probe fetched (rollout chunk compiled + executed)")
 
+    # Dispatch the whole timed sequence, then fetch ONE scalar at the end:
+    # each chunk consumes the previous chunk's (donated) states, so the final
+    # probe's value forces every chunk to execute on-device in order, while
+    # the ~25 ms host<->TPU round-trip of a scalar fetch (remote-attached
+    # "axon" backend) is paid once instead of once per call — per-call
+    # fetches were inflating the measurement by ~25 ms/chunk (~27%%),
+    # measured via scripts/bench_parts.py fixed-cost analysis.
     t0 = time.perf_counter()
     for i in range(TIMED_CALLS):
         states, k, probe = step_fn(states, k, consts)
-        float(probe)   # scalar fetch: forces the chunk to fully execute
-        _mark(f"timed call {i} done")
+    float(probe)   # one scalar fetch: forces the full chunk chain
     dt = time.perf_counter() - t0
+    _mark(f"{TIMED_CALLS} timed calls done (single end-of-chain fetch)")
 
     total_steps = NUM_WORLDS * STEPS_PER_CALL * TIMED_CALLS
     sps = total_steps / dt

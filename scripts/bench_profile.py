@@ -104,10 +104,12 @@ def main():
         ctx = (jax.profiler.trace("/tmp/jaxtrace")
                if (args.trace and name == "full") else _null())
         with ctx:
+            # single end-of-chain fetch (see bench.py): per-call scalar
+            # fetches pay the ~25 ms axon round-trip per chunk
             t0 = time.perf_counter()
             for _ in range(TIMED):
                 states_v, k, probe = step_fn(states_v, k, consts)
-                float(probe)
+            float(probe)
             dt = time.perf_counter() - t0
         sps = n * STEPS_PER_CALL * TIMED / dt
         results[name] = round(sps, 1)
