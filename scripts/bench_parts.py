@@ -197,9 +197,99 @@ def main():
                 body, (states, key), jnp.arange(n_push))
             return states, key, jnp.sum(probes)
 
+    # ---- physics-internal splits (each x STEPS_PER_CALL like a step) ----
+    from carla_driving_rl_agent_tpu.envs import dynamics as dyn_mod
+    from carla_driving_rl_agent_tpu.envs import traffic as traffic_mod
+    from carla_driving_rl_agent_tpu.envs.world import (
+        _off_road_distance, _route_fns, ROUTE_WINDOW, tgather)
+
+    def phys_npc(states, key, consts):
+        with env.bind(consts):
+            def body(carry, _):
+                states, key = carry
+                key, k = jax.random.split(key)
+                ks = jax.random.split(k, n)
+                npc = jax.vmap(
+                    lambda kk, w: traffic_mod.step_npcs(
+                        kk, w.npc, env.town, w.town_id, w.sim_time,
+                        jnp.stack([w.x, w.y]), w.v, w.yaw)
+                )(ks, states.world)
+                states = states._replace(
+                    world=states.world._replace(npc=npc))
+                return (states, key), npc.veh_xy[0, 0, 0]
+            (states, key), probes = jax.lax.scan(
+                body, (states, key), None, length=STEPS_PER_CALL)
+            return states, key, jnp.sum(probes)
+
+    def phys_offroad(states, key, consts):
+        with env.bind(consts):
+            def body(carry, i):
+                states, key = carry
+                d = jax.vmap(lambda w: _off_road_distance(
+                    env.town, w.town_id, w.x + i * 1e-3, w.y))(states.world)
+                return (states, key), d[0]
+            (states, key), probes = jax.lax.scan(
+                body, (states, key), jnp.arange(STEPS_PER_CALL, dtype=jnp.float32))
+            return states, key, jnp.sum(probes)
+
+    def phys_routewin(states, key, consts):
+        with env.bind(consts):
+            def one(w, i):
+                r_len = tgather(env.routes.length, w.town_id, w.route_id)
+                rem = r_len - w.wp_idx
+                offs = jnp.minimum(jnp.arange(ROUTE_WINDOW), rem - 1)
+                w_ids = w.wp_idx + offs
+                w_xy = tgather(env.routes.xy, w.town_id, w.route_id, w_ids)
+                w_yaw = tgather(env.routes.yaw, w.town_id, w.route_id, w_ids)
+                pos = jnp.stack([w.x + i * 1e-3, w.y])
+                li = _route_fns["update_index"](w_xy, rem,
+                                                jnp.zeros((), jnp.int32), pos)
+                sim = _route_fns["similarity"](w_yaw, li, w.yaw)
+                dn = _route_fns["distance_to_next"](w_xy, li, pos)
+                end = tgather(env.routes.xy, w.town_id, w.route_id, r_len - 1)
+                return sim + dn + end[0] + li
+            def body(carry, i):
+                states, key = carry
+                p = jax.vmap(lambda w: one(w, i))(states.world)
+                return (states, key), p[0]
+            (states, key), probes = jax.lax.scan(
+                body, (states, key), jnp.arange(STEPS_PER_CALL, dtype=jnp.float32))
+            return states, key, jnp.sum(probes)
+
+    def phys_dyn(states, key, consts):
+        with env.bind(consts):
+            a = fixed_actions(n)
+            def body(carry, i):
+                states, key = carry
+                def one(w, act):
+                    c = dyn_mod.actions_to_control(
+                        act, w.v, throttle_as_desired_speed=True,
+                        disable_reverse=True)
+                    return dyn_mod.step_bicycle(w.x, w.y, w.yaw, w.v, c)
+                x, y, yaw, v = jax.vmap(one)(states.world, a + i * 1e-4)
+                states = states._replace(world=states.world._replace(
+                    x=x, y=y, yaw=yaw, v=v))
+                return (states, key), x[0]
+            (states, key), probes = jax.lax.scan(
+                body, (states, key), jnp.arange(STEPS_PER_CALL, dtype=jnp.float32))
+            return states, key, jnp.sum(probes)
+
+    def phys_rng(states, key, consts):
+        def body(carry, _):
+            states, key = carry
+            key, k = jax.random.split(key)
+            a = jax.random.uniform(k, (n, 2))
+            ks = jax.random.split(k, n)
+            return (states, key), a[0, 0] + ks[0, 0].astype(jnp.float32)
+        (states, key), probes = jax.lax.scan(
+            body, (states, key), None, length=STEPS_PER_CALL)
+        return states, key, jnp.sum(probes)
+
     variants = dict(
         phys_full=phys_full, phys_fixedact=phys_fixedact,
         phys_noreset=phys_noreset, phys_vecobs=phys_vecobs,
+        phys_npc=phys_npc, phys_offroad=phys_offroad,
+        phys_routewin=phys_routewin, phys_dyn=phys_dyn, phys_rng=phys_rng,
         rend_pack=rend_pack, rend_kernel=rend_kernel,
         rend_tile=rend_tile, rend_roll=rend_roll, rend_all=rend_all,
     )
@@ -214,10 +304,13 @@ def main():
             for _ in range(WARMUP):
                 states_v, k, probe = step_fn(states_v, k, consts)
             float(probe)
+            # single end-of-run fetch (device stream is in-order, so the last
+            # probe's arrival implies every chunk executed) — per-call fetches
+            # add a ~25 ms axon round-trip to every variant
             t0 = time.perf_counter()
             for _ in range(TIMED):
                 states_v, k, probe = step_fn(states_v, k, consts)
-                float(probe)
+            float(probe)
             dt = time.perf_counter() - t0
             results[name] = round(1e3 * dt / TIMED, 2)
             print(json.dumps({"part": name,
