@@ -93,6 +93,10 @@ class CARLAgentConfig:
     expert_rollout: bool = False
     expert_behaviour_mix: Tuple[str, ...] = ("cautious", "normal",
                                              "aggressive")
+    # per-action importance-ratio ceiling (0 = off, reference-parity). Used
+    # by the expert-rollout imitation path, where stored expert actions can
+    # sit in the sharpened policy's far tail — see _policy_loss.
+    ratio_clamp: float = 0.0
     # network spec (reference core/carla_agent.py:61-68)
     network: Dict[str, Any] = field(default_factory=dict)
     compute_dtype: str = "float32"
@@ -205,6 +209,16 @@ class CARLAgent:
 
         adv = batch["advantages"]
         ratio = jnp.exp(log_prob - batch["log_prob"])
+        if self.config.ratio_clamp:
+            # Off-policy importance truncation (IMPALA-style, TPU-new,
+            # off by default): expert-rollout traces put stored actions deep
+            # in the SHARPENED policy's tail (e.g. full-brake a=0 under a
+            # concentrated cruise Beta), where exp(lp' - lp) overflows; with
+            # negative advantage the loss hits +inf and the NaN-safe gradient
+            # clip zeroes the whole minibatch — silently dropping exactly the
+            # braking/slow-down lessons (observed: loss_policy=inf late in
+            # imitation probes).  Clamping bounds the update instead.
+            ratio = jnp.minimum(ratio, self.config.ratio_clamp)
         ratio = jnp.mean(ratio, axis=1)                    # per-action-ratio mean
         clip_v = hyper["clip_ratio"]
         min_adv = jnp.where(adv > 0.0, (1.0 + clip_v) * adv, (1.0 - clip_v) * adv)

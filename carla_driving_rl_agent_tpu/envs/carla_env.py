@@ -24,7 +24,7 @@ import numpy as np
 
 from carla_driving_rl_agent_tpu.envs import spaces
 from carla_driving_rl_agent_tpu.envs import world as world_mod
-from carla_driving_rl_agent_tpu.envs.world import WorldParams, WorldState
+from carla_driving_rl_agent_tpu.envs.world import WorldParams, WorldState, tgather
 from carla_driving_rl_agent_tpu.ops import rasterizer
 
 
@@ -164,18 +164,18 @@ class CARLAEnv:
             assert cfg.cameras == 3, "the Pallas kernel renders the 3-camera rig"
             return self._render_frame_pallas(world)
         inputs = rasterizer.RenderInputs(
-            edges_xy=self.town.edges_xy[world.town_id],
-            num_edges=self.town.num_edges[world.town_id],
-            buildings=self.town.buildings[world.town_id],
-            junctions=self.town.junction_xy[world.town_id],
-            num_junctions=self.town.num_junctions[world.town_id],
+            edges_xy=tgather(self.town.edges_xy, world.town_id),
+            num_edges=tgather(self.town.num_edges, world.town_id),
+            buildings=tgather(self.town.buildings, world.town_id),
+            junctions=tgather(self.town.junction_xy, world.town_id),
+            num_junctions=tgather(self.town.num_junctions, world.town_id),
             ego_xy=jnp.stack([world.x, world.y]),
             ego_yaw=world.yaw,
             veh_xy=world.npc.veh_xy, veh_yaw=world.npc.veh_yaw,
             veh_active=world.npc.veh_active,
             ped_xy=world.npc.ped_xy, ped_active=world.npc.ped_active,
             weather=self.weather_params[world.weather_id],
-            road_half=self.town.road_half[world.town_id],
+            road_half=tgather(self.town.road_half, world.town_id),
         )
         if cfg.cameras == 1:
             # OneCamera variant: front view only (reference environment.py:837)
@@ -204,18 +204,18 @@ class CARLAEnv:
 
     def _render_inputs(self, world: WorldState):
         return rasterizer.RenderInputs(
-            edges_xy=self.town.edges_xy[world.town_id],
-            num_edges=self.town.num_edges[world.town_id],
-            buildings=self.town.buildings[world.town_id],
-            junctions=self.town.junction_xy[world.town_id],
-            num_junctions=self.town.num_junctions[world.town_id],
+            edges_xy=tgather(self.town.edges_xy, world.town_id),
+            num_edges=tgather(self.town.num_edges, world.town_id),
+            buildings=tgather(self.town.buildings, world.town_id),
+            junctions=tgather(self.town.junction_xy, world.town_id),
+            num_junctions=tgather(self.town.num_junctions, world.town_id),
             ego_xy=jnp.stack([world.x, world.y]),
             ego_yaw=world.yaw,
             veh_xy=world.npc.veh_xy, veh_yaw=world.npc.veh_yaw,
             veh_active=world.npc.veh_active,
             ped_xy=world.npc.ped_xy, ped_active=world.npc.ped_active,
             weather=self.weather_params[world.weather_id],
-            road_half=self.town.road_half[world.town_id],
+            road_half=tgather(self.town.road_half, world.town_id),
         )
 
     def _render_frame_pallas(self, world: WorldState) -> jax.Array:
@@ -289,7 +289,7 @@ class CARLAEnv:
             w = state.world
             obs["past_control"] = jnp.stack(
                 [w.throttle, w.brake, w.steer, jnp.zeros(())])
-            opt = self.routes.option[w.town_id, w.route_id, w.wp_idx]
+            opt = tgather(self.routes.option, w.town_id, w.route_id, w.wp_idx)
             obs["command"] = jax.nn.one_hot(opt, 7)
         return obs
 
@@ -384,9 +384,13 @@ class CARLAEnv:
         fid = jnp.asarray(frame_id, jnp.int32)
 
         def push(stack, item):
-            rolled = jnp.concatenate([stack[1:], item[None]], axis=0)
-            fresh = jnp.zeros_like(stack).at[-1].set(item)
-            return jnp.where(_expand(was_reset, rolled), fresh, rolled)
+            # fresh == [0, ..., 0, item] and rolled == [s1, ..., s_{T-1}, item]
+            # share the last slot, so the reset select reduces to masking the
+            # shifted slots by ~was_reset — one fused multiply instead of
+            # materializing a second full stack + select
+            keep = (~was_reset).astype(stack.dtype)
+            shifted = stack[1:] * keep
+            return jnp.concatenate([shifted, item[None]], axis=0)
 
         ids_rolled = jnp.concatenate([state.stack_ids[1:], fid[None]])
         ids_fresh = jnp.full((T,), -(T + 1), jnp.int32).at[-1].set(fid)

@@ -96,3 +96,14 @@ def step_bicycle(x: jax.Array, y: jax.Array, yaw: jax.Array, v: jax.Array,
     yaw_new = yaw + direction * (v_mid / LR) * jnp.sin(beta) * dt
     yaw_new = jnp.arctan2(jnp.sin(yaw_new), jnp.cos(yaw_new))
     return x_new, y_new, yaw_new, v_new
+
+
+def tgather(arr: jax.Array, town_id, *idx):
+    """`arr[town_id, *idx]` with the leading town axis folded away STATICALLY
+    when the bank holds a single town (the bench / stage s1-s3 / imitation
+    configs): the per-world two-level gather becomes a free slice plus a
+    one-level gather.  Multi-town banks keep the fused `arr[town_id, ...]`
+    form — materializing `arr[town_id]` first would copy whole padded town
+    tables per world under vmap (the round-1 TPU-gather poison)."""
+    lead = 0 if arr.shape[0] == 1 else town_id
+    return arr[(lead,) + idx] if idx else arr[lead]

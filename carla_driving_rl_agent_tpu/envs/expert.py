@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from carla_driving_rl_agent_tpu.envs.world import WorldState, WorldParams, TownDev, RoutesDev
 from carla_driving_rl_agent_tpu.envs import traffic
+from carla_driving_rl_agent_tpu.envs.dynamics import tgather
 
 # speed_decrease (km/h under the lead in the TTC band) mirrors the
 # reference profiles' values (types_behavior.py: 12/10/8)
@@ -74,16 +75,16 @@ def expert_action(state: WorldState, params: WorldParams, town: TownDev,
 
     # steering: pure pursuit of a look-ahead route waypoint (point gather —
     # full-route gathers at batch scale are the TPU poison, see world.py)
-    r_len = routes.length[state.town_id, state.route_id]
+    r_len = tgather(routes.length, state.town_id, state.route_id)
     target_idx = jnp.minimum(state.wp_idx + LOOKAHEAD, r_len - 1)
-    to_t = routes.xy[state.town_id, state.route_id, target_idx] - pos
+    to_t = tgather(routes.xy, state.town_id, state.route_id, target_idx) - pos
     desired_yaw = jnp.arctan2(to_t[1], to_t[0])
     yaw_err = jnp.arctan2(jnp.sin(desired_yaw - state.yaw),
                           jnp.cos(desired_yaw - state.yaw))
     steer = jnp.clip(STEER_GAIN * yaw_err, -STEER_CAP, STEER_CAP)
 
     # desired speed: limit * behaviour factor
-    limit = town.wp_speed_limit[state.town_id, 0]
+    limit = tgather(town.wp_speed_limit, state.town_id, 0)
     desired = limit * prof["speed_factor"]
 
     # hazard: nearest actor in a forward cone (behavior_agent.py:258-361)
@@ -112,19 +113,19 @@ def expert_action(state: WorldState, params: WorldParams, town: TownDev,
     # red light stop (agent.py:74-110), unless ignored (training collection
     # default — reference core/learning.py:196-212 ignore_traffic_light=True)
     if not ignore_traffic_light:
-        j_xy = town.junction_xy[state.town_id]
-        n_j = town.num_junctions[state.town_id]
+        j_xy = tgather(town.junction_xy, state.town_id)
+        n_j = tgather(town.num_junctions, state.town_id)
         d_j = jnp.linalg.norm(j_xy - pos[None], axis=-1)
         d_j = jnp.where(jnp.arange(j_xy.shape[0]) < n_j, d_j, 1e9)
         jid = jnp.argmin(d_j)
         light = traffic.light_phase_state(
-            state.sim_time, town.junction_phase[state.town_id, jid], state.yaw)
+            state.sim_time, tgather(town.junction_phase, state.town_id, jid), state.yaw)
         at_red = (d_j[jid] < 14.0) & (d_j[jid] > 4.0) & (light != traffic.LIGHT_GREEN)
         desired = jnp.where(at_red, 0.0, desired)
 
     # slow down in junctions (intersection management, behavior_agent.py:363-432)
     near_j = jnp.linalg.norm(
-        town.junction_xy[state.town_id] - pos[None], axis=-1).min() < 12.0
+        tgather(town.junction_xy, state.town_id) - pos[None], axis=-1).min() < 12.0
     desired = jnp.where(near_j, jnp.minimum(desired, limit * 0.5), desired)
     # slow for sharp turns
     desired = desired * (1.0 - 0.7 * jnp.clip(jnp.abs(yaw_err) / 0.8, 0.0, 1.0))

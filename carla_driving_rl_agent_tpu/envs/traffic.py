@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from carla_driving_rl_agent_tpu.envs.dynamics import DT, MS_TO_KMH
+from carla_driving_rl_agent_tpu.envs.dynamics import DT, MS_TO_KMH, tgather
 
 LIGHT_CYCLE = 24.0
 GREEN_TIME = 10.0
@@ -97,13 +97,13 @@ def init_npcs(key: jax.Array, town, town_id: jax.Array,
     traffic preset (reference `env_utils.py:195-336`; spawn specs
     `core/learning.py:485-487`)."""
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    n_spawn = town.num_spawn[town_id]
+    n_spawn = tgather(town.num_spawn, town_id)
 
     # vehicles: random distinct-ish spawn points, not too close to ego
     s_idx = jax.random.randint(k1, (v_max,), 0, jnp.maximum(n_spawn, 1))
-    sxy = town.spawn_xy[town_id, s_idx]
-    syaw = town.spawn_yaw[town_id, s_idx]
-    swp = town.spawn_wp[town_id, s_idx]
+    sxy = tgather(town.spawn_xy, town_id, s_idx)
+    syaw = tgather(town.spawn_yaw, town_id, s_idx)
+    swp = tgather(town.spawn_wp, town_id, s_idx)
     far_from_ego = jnp.linalg.norm(sxy - ego_xy[None], axis=-1) > min_ego_distance
     slot_on = (jnp.arange(v_max) < num_vehicles) & far_from_ego
     # avoid stacking two NPCs on the same spawn: deactivate duplicates
@@ -118,10 +118,10 @@ def init_npcs(key: jax.Array, town, town_id: jax.Array,
     )
 
     # pedestrians: offset from random waypoints onto the sidewalk side
-    n_wp = town.num_wp[town_id]
+    n_wp = tgather(town.num_wp, town_id)
     w_idx = jax.random.randint(k2, (p_max,), 0, jnp.maximum(n_wp, 1))
-    wxy = town.wp_xy[town_id, w_idx]
-    wyaw = town.wp_yaw[town_id, w_idx]
+    wxy = tgather(town.wp_xy, town_id, w_idx)
+    wyaw = tgather(town.wp_yaw, town_id, w_idx)
     side = jnp.sign(jax.random.normal(k3, (p_max,)))
     offset = 4.5 + jax.random.uniform(k4, (p_max,)) * 1.5
     normal = jnp.stack([-jnp.sin(wyaw), jnp.cos(wyaw)], axis=-1)
@@ -138,10 +138,10 @@ def init_npcs(key: jax.Array, town, town_id: jax.Array,
 
 def _sample_ped_goals(key, town, town_id, p_max):
     k1, k2, k3 = jax.random.split(key, 3)
-    n_wp = town.num_wp[town_id]
+    n_wp = tgather(town.num_wp, town_id)
     w_idx = jax.random.randint(k1, (p_max,), 0, jnp.maximum(n_wp, 1))
-    wxy = town.wp_xy[town_id, w_idx]
-    wyaw = town.wp_yaw[town_id, w_idx]
+    wxy = tgather(town.wp_xy, town_id, w_idx)
+    wyaw = tgather(town.wp_yaw, town_id, w_idx)
     side = jnp.sign(jax.random.normal(k2, (p_max,)))
     offset = 4.0 + jax.random.uniform(k3, (p_max,)) * 3.0
     normal = jnp.stack([-jnp.sin(wyaw), jnp.cos(wyaw)], axis=-1)
@@ -155,19 +155,19 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     # NOTE: all town-table lookups use fused two-level gathers
     # (arr[town_id, idx]) — materializing arr[town_id] first copies whole
     # padded waypoint tables per world under vmap.
-    j_phase = town.junction_phase[town_id]
+    j_phase = tgather(town.junction_phase, town_id)
 
     # ---- vehicles ----
-    target = town.wp_xy[town_id, npc.veh_wp]         # (V, 2)
+    target = tgather(town.wp_xy, town_id, npc.veh_wp)         # (V, 2)
     to_t = target - npc.veh_xy
     dist_t = jnp.linalg.norm(to_t, axis=-1)
     # advance waypoint when close; pick a successor branch randomly at lane ends
     k_branch, key = jax.random.split(key)
     branch = jax.random.randint(k_branch, npc.veh_wp.shape, 0, 3)
     branch = jnp.minimum(branch, jnp.maximum(
-        town.wp_num_next[town_id, npc.veh_wp] - 1, 0))
-    nxt = town.wp_next[town_id, npc.veh_wp, branch]
-    nxt = jnp.where(nxt < 0, town.wp_next[town_id, npc.veh_wp, 0], nxt)
+        tgather(town.wp_num_next, town_id, npc.veh_wp) - 1, 0))
+    nxt = tgather(town.wp_next, town_id, npc.veh_wp, branch)
+    nxt = jnp.where(nxt < 0, tgather(town.wp_next, town_id, npc.veh_wp, 0), nxt)
     nxt = jnp.where(nxt < 0, npc.veh_wp, nxt)
     reached = dist_t < 2.5
     new_wp = jnp.where(reached, nxt, npc.veh_wp).astype(jnp.int32)
@@ -193,7 +193,7 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     # behavior_agent.py:189-223): a blocked NPC on a multi-lane road hops its
     # target waypoint onto the adjacent lane when that lane is clear.
     # Prefer left (the reference overtakes left first), fall back to right.
-    limit_kmh = town.wp_speed_limit[town_id, new_wp] * speed_factor
+    limit_kmh = tgather(town.wp_speed_limit, town_id, new_wp) * speed_factor
     blocked = (d_hazard < 18.0) & (lead_v < 0.5 * npc.veh_v + 1.0)
 
     n_veh = npc.veh_xy.shape[0]
@@ -201,7 +201,7 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
                  == jnp.arange(n_veh)[:, None])       # (V, A)
 
     def _clear(cand_wp):
-        cand_xy = town.wp_xy[town_id, jnp.maximum(cand_wp, 0)]
+        cand_xy = tgather(town.wp_xy, town_id, jnp.maximum(cand_wp, 0))
         d_cand = jnp.linalg.norm(all_xy[None, :, :] - cand_xy[:, None, :], axis=-1)
         return jnp.min(jnp.where((all_active[None, :] > 0) & not_self,
                                  d_cand, 1e6), axis=1) > 8.0
@@ -217,23 +217,23 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     back_v = jnp.where(d_back < 1e5, all_v[back_idx], 0.0)
     tailgated = (d_back < 12.0) & (back_v > npc.veh_v + 1.0)
 
-    wp_l = town.wp_left[town_id, new_wp]
-    wp_r = town.wp_right[town_id, new_wp]
+    wp_l = tgather(town.wp_left, town_id, new_wp)
+    wp_r = tgather(town.wp_right, town_id, new_wp)
     go_left = blocked & (wp_l >= 0) & _clear(wp_l)
     go_right = ((blocked | tailgated) & ~go_left & (wp_r >= 0)
                 & _clear(wp_r))
     new_wp = jnp.where(go_left, wp_l, jnp.where(go_right, wp_r, new_wp))
     new_wp = new_wp.astype(jnp.int32)
 
-    target = town.wp_xy[town_id, new_wp]
+    target = tgather(town.wp_xy, town_id, new_wp)
     to_t = target - npc.veh_xy
     desired_yaw = jnp.arctan2(to_t[:, 1], to_t[:, 0])
     yaw_err = jnp.arctan2(jnp.sin(desired_yaw - npc.veh_yaw),
                           jnp.cos(desired_yaw - npc.veh_yaw))
 
     # red light stop: approaching a junction with a red/yellow light
-    my_jid = town.wp_junction_id[town_id, new_wp]
-    my_dj = town.wp_dist_to_junction[town_id, new_wp]
+    my_jid = tgather(town.wp_junction_id, town_id, new_wp)
+    my_dj = tgather(town.wp_dist_to_junction, town_id, new_wp)
     light = light_phase_state(sim_time, j_phase[jnp.maximum(my_jid, 0)], npc.veh_yaw)
     at_red = (my_jid >= 0) & (my_dj < 14.0) & (my_dj > 3.0) & (light != LIGHT_GREEN)
 

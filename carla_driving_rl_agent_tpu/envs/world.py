@@ -29,7 +29,7 @@ import numpy as np
 
 from carla_driving_rl_agent_tpu.envs import dynamics, route as route_mod, traffic
 from carla_driving_rl_agent_tpu.envs import town as town_mod
-from carla_driving_rl_agent_tpu.envs.dynamics import DT
+from carla_driving_rl_agent_tpu.envs.dynamics import DT, tgather
 
 
 class TownDev(NamedTuple):
@@ -211,8 +211,8 @@ def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
     # point gathers, NOT routes.xy[town_id, route_id][0]: reset_world runs
     # merged into EVERY auto-reset step, and a full-route gather per world
     # per step is the dominant TPU cost (~1 gathered element/cycle)
-    ego_xy = routes.xy[town_id, route_id, 0]
-    ego_yaw = routes.yaw[town_id, route_id, 0]
+    ego_xy = tgather(routes.xy, town_id, route_id, 0)
+    ego_yaw = tgather(routes.yaw, town_id, route_id, 0)
 
     npc = traffic.init_npcs(k_npc, town, town_id, params.num_vehicles,
                             params.num_pedestrians, ego_xy,
@@ -249,8 +249,8 @@ def _off_road_distance(town: TownDev, town_id, x, y):
     gh, gw = town.seg_cells.shape[1], town.seg_cells.shape[2]
     cx = jnp.clip((x / CELL_RES).astype(jnp.int32), 0, gw - 1)
     cy = jnp.clip((y / CELL_RES).astype(jnp.int32), 0, gh - 1)
-    idx = town.seg_cells[town_id, cy, cx]               # (K,) fused gather
-    segs = town.edges_xy[town_id, idx]                  # (K, 4)
+    idx = tgather(town.seg_cells, town_id, cy, cx)               # (K,) fused gather
+    segs = tgather(town.edges_xy, town_id, idx)                  # (K, 4)
     ex = segs[:, 2] - segs[:, 0]
     ey = segs[:, 3] - segs[:, 1]
     L2 = jnp.maximum(ex * ex + ey * ey, 1e-9)
@@ -289,19 +289,19 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
     # invariant: passing the window with a local idx of 0 and the remaining
     # length reproduces the full-route results exactly (pinned by
     # tests/test_route.py window-equivalence tests).
-    r_len = routes.length[state.town_id, state.route_id]
+    r_len = tgather(routes.length, state.town_id, state.route_id)
     rem = r_len - state.wp_idx                  # >= 1: wp_idx <= r_len - 1
     offs = jnp.minimum(jnp.arange(ROUTE_WINDOW), rem - 1)
     w_ids = state.wp_idx + offs
-    w_xy = routes.xy[state.town_id, state.route_id, w_ids]
-    w_yaw = routes.yaw[state.town_id, state.route_id, w_ids]
+    w_xy = tgather(routes.xy, state.town_id, state.route_id, w_ids)
+    w_yaw = tgather(routes.yaw, state.town_id, state.route_id, w_ids)
     pos = jnp.stack([x, y])
     local_idx = _route_fns["update_index"](w_xy, rem,
                                            jnp.zeros((), jnp.int32), pos)
     wp_idx = (state.wp_idx + local_idx).astype(jnp.int32)
     similarity = _route_fns["similarity"](w_yaw, local_idx, yaw)
     d_next = _route_fns["distance_to_next"](w_xy, local_idx, pos)
-    end_xy = routes.xy[state.town_id, state.route_id, r_len - 1]
+    end_xy = tgather(routes.xy, state.town_id, state.route_id, r_len - 1)
     d_dest = jnp.linalg.norm(end_xy - pos)
 
     # --- collisions (core/carla_env.py:254-269) ---
@@ -309,7 +309,7 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
     # the configured threshold is calibrated for single-lane roads
     # (road_half = 3.8); wider (multi-lane) towns shift it by the extra width
     off_road_thr = (params.off_road_threshold
-                    + (town.road_half[state.town_id] - (town_mod.LANE_WIDTH + 0.3)))
+                    + (tgather(town.road_half, state.town_id) - (town_mod.LANE_WIDTH + 0.3)))
     hit_veh, hit_ped, hit_other = traffic.collision_check(
         pos, yaw, npc, off_road, off_road_threshold=off_road_thr)
     pen = params.collision_penalty
@@ -373,7 +373,7 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
 
 
 def _speed_limit(town: TownDev, town_id) -> jax.Array:
-    return town.wp_speed_limit[town_id, 0]
+    return tgather(town.wp_speed_limit, town_id, 0)
 
 
 # ------------------------------------------------------------------
@@ -385,8 +385,8 @@ def road_features(state: WorldState, params: WorldParams, town: TownDev) -> jax.
     speed_limit/100, one-hot light-state(5)] — core/carla_env.py:335-351.
     (CARLA's is_intersection is a deprecated alias of is_junction.)"""
     pos = jnp.stack([state.x, state.y])
-    j_xy = town.junction_xy[state.town_id]
-    n_j = town.num_junctions[state.town_id]
+    j_xy = tgather(town.junction_xy, state.town_id)
+    n_j = tgather(town.num_junctions, state.town_id)
     d_j = jnp.linalg.norm(j_xy - pos[None], axis=-1)
     d_j = jnp.where(jnp.arange(j_xy.shape[0]) < n_j, d_j, 1e9)
     jid = jnp.argmin(d_j)
@@ -394,7 +394,7 @@ def road_features(state: WorldState, params: WorldParams, town: TownDev) -> jax.
     is_junction = (d_min < town_mod.JUNCTION_RADIUS).astype(jnp.float32)
 
     light_state = traffic.light_phase_state(
-        state.sim_time, town.junction_phase[state.town_id, jid], state.yaw)
+        state.sim_time, tgather(town.junction_phase, state.town_id, jid), state.yaw)
     if params.force_green_lights:
         # training hack: ego's light is forced green (reference environment.py:420-424)
         light_state = jnp.full_like(light_state, traffic.LIGHT_GREEN)
@@ -425,10 +425,10 @@ def navigation_features(state: WorldState, params: WorldParams,
     Window-gathers only the `amount` forward waypoints (see the step_world
     route-window note: batch-scale full-route gathers are the TPU poison)."""
     amount = params.num_waypoints_for_feature
-    r_len = routes.length[state.town_id, state.route_id]
+    r_len = tgather(routes.length, state.town_id, state.route_id)
     rem = r_len - state.wp_idx
     offs = jnp.minimum(jnp.arange(amount), rem - 1)
-    w_xy = routes.xy[state.town_id, state.route_id, state.wp_idx + offs]
+    w_xy = tgather(routes.xy, state.town_id, state.route_id, state.wp_idx + offs)
     pos = jnp.stack([state.x, state.y])
     return _route_fns["next_waypoint_distances"](
         w_xy, rem, jnp.zeros((), jnp.int32), pos, amount)

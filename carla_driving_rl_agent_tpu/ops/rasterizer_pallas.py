@@ -326,6 +326,7 @@ def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
     All lookups are fused two-level gathers (arr[town_id, idx]) so nothing
     per-town is materialized per world under vmap."""
     from carla_driving_rl_agent_tpu.envs.town import CELL_RES
+    from carla_driving_rl_agent_tpu.envs.dynamics import tgather
 
     tid = world.town_id
     ego_xy = jnp.stack([world.x, world.y])
@@ -333,17 +334,17 @@ def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
     cx = jnp.clip((world.x / CELL_RES).astype(jnp.int32), 0, gw - 1)
     cy = jnp.clip((world.y / CELL_RES).astype(jnp.int32), 0, gh - 1)
 
-    seg_idx = town.seg_cells[tid, cy, cx, :K_EDGES]          # (K,)
-    segs = town.edges_xy[tid, seg_idx]                       # (K, 4)
-    bld_idx = town.bld_cells[tid, cy, cx, :K_BUILDINGS]
-    blds = town.buildings[tid, bld_idx]                      # (K, 5)
+    seg_idx = tgather(town.seg_cells, tid, cy, cx, slice(None, K_EDGES))  # (K,)
+    segs = tgather(town.edges_xy, tid, seg_idx)              # (K, 4)
+    bld_idx = tgather(town.bld_cells, tid, cy, cx, slice(None, K_BUILDINGS))
+    blds = tgather(town.buildings, tid, bld_idx)             # (K, 5)
     # zero out padded building slots (index beyond num_buildings)
-    b_ok = bld_idx < town.num_buildings[tid]
+    b_ok = bld_idx < tgather(town.num_buildings, tid)
     blds = blds * b_ok[:, None]
 
-    j_all = town.junction_xy[tid]                            # (J, 2) small
+    j_all = tgather(town.junction_xy, tid)                   # (J, 2) small
     j_idx = R._nearest_k(j_all, ego_xy,
-                         jnp.arange(j_all.shape[0]) < town.num_junctions[tid], 4)
+                         jnp.arange(j_all.shape[0]) < tgather(town.num_junctions, tid), 4)
     juncs = j_all[j_idx]
 
     npc = world.npc
@@ -378,7 +379,7 @@ def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
         jnp.stack([ego_xy[0], ego_xy[1],
                    jnp.cos(world.yaw), jnp.sin(world.yaw)]),
         weather,
-        jnp.reshape(town.road_half[tid], (1,)).astype(jnp.float32),
+        jnp.reshape(tgather(town.road_half, tid), (1,)).astype(jnp.float32),
     ])
     return jnp.pad(geom, (0, GEOM_PAD - geom.shape[0])).astype(jnp.float32)
 
@@ -425,13 +426,17 @@ def tile_to_image(planes: jax.Array, out_h: int = 90, out_w: int = 120,
         img = img.at[3].mul(view_keep[:, None, None])
     img = jnp.transpose(img, (2, 1, 3, 0))             # (h, view, w, chan)
     img = img.reshape(VIEW_H, 3 * VIEW_W, c)
+    # cast BEFORE the upsample: the kernel already clips to [0, 255], and
+    # repeat(cast(x)) == cast(repeat(x)), so quantizing first cuts the
+    # repeat's HBM traffic 4x (uint8 vs float32)
+    img = img.astype(jnp.uint8)
     ry = out_h // VIEW_H
     rx = out_w // VIEW_W
     if ry > 1:
         img = jnp.repeat(img, ry, axis=0)
     if rx > 1:
         img = jnp.repeat(img, rx, axis=1)
-    return img.astype(jnp.uint8)
+    return img
 
 
 def render_cameras_pallas(inputs: R.RenderInputs, height: int = 90,

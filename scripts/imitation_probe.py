@@ -60,6 +60,7 @@ def fused_train(tiny: bool, updates: int, name: str = NAME,
         batch_size=8 if tiny else 64,
         policy_lr=3e-4, value_lr=3e-4, dynamics_lr=3e-4,
         expert_rollout=True, expert_behaviour_mix=tuple(mix),
+        ratio_clamp=20.0,   # see CARLAgentConfig.ratio_clamp / _policy_loss
         seed=0, **sharp_recipe())
     agent = CARLAgent(env, cfg, name=name)
     _, history = agent.learn(num_updates=updates)
