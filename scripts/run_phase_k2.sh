@@ -1,8 +1,9 @@
 #!/bin/bash
 # Phase K2: after imitation_finetune.py picks weights/imitation-final —
 # sweep it across the 48-scenario protocol IF its Town03/no gate clears a
-# sanity bar (collision <= 0.8 AND reward >= 800; a dud is not worth 2.5 h
-# of chip time), then finalize. Afterwards re-run the parts ablation and
+# sanity bar (collision <= 0.72 AND reward >= 1500 — the reference
+# curriculum scores 0.80/3024 on this very gate, so anything weaker is not
+# worth 2.5 h of chip time), then finalize. Afterwards re-run the parts ablation and
 # three bench.py readings with the round-trip-amortized timing.
 set -u
 cd /root/repo
@@ -18,7 +19,7 @@ try:
     f = ("weights/imitation-final/evaluation/"
          "imitation-final-train-512-50-Town03-no-42.json")
     d = json.load(open(f))
-    ok = d["collision_rate_mean"] <= 0.8 and d["total_reward_mean"] >= 800
+    ok = d["collision_rate_mean"] <= 0.72 and d["total_reward_mean"] >= 1500
     print("yes" if ok else "no")
 except Exception as e:
     print("no")
