@@ -42,8 +42,8 @@ AGENTS = {
     # device-resident PPO-on-expert-actions) and its sharp RL fine-tune
     # (scripts/imitation_finetune.py snapshot-gated pick); first candidate
     # with a FULL sweep wins
-    "imitation": ("imitation-final", "imitation-probe-v2", "imitation-probe",
-                  "imitation-rl"),
+    "imitation": ("imitation-probe-v3", "imitation-final",
+                  "imitation-probe-v2", "imitation-probe", "imitation-rl"),
 }
 
 

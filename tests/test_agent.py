@@ -78,3 +78,54 @@ class TestCARLAgent:
         before = agent.policy_lr.step
         agent.learn(num_updates=1)
         assert agent.policy_lr.step == before + 1
+
+
+class TestRatioClamp:
+    """CARLAgentConfig.ratio_clamp: IMPALA-style importance truncation for
+    the expert-rollout imitation path (see carla_agent._policy_loss).
+
+    A stored action in the far tail of the current policy (e.g. the expert's
+    full-brake a=0 under a sharpened cruise Beta) makes exp(lp' - lp)
+    overflow; with negative advantage the unclamped loss is +inf and every
+    gradient in the minibatch is non-finite (the NaN-safe gradient clip then
+    zeroes them all — silently dropping the whole minibatch). The clamp must
+    keep gradients finite and non-zero."""
+
+    def _loss_and_grads(self, tiny_env, tmp_path_factory, clamp):
+        mb, T = 4, 4
+        cfg = CARLAgentConfig(num_envs=4, rollout_steps=8, batch_size=8,
+                              network=TINY_NET, seed=7, ratio_clamp=clamp)
+        ag = CARLAgent(tiny_env, cfg, name=f"rc-{clamp}", log_mode=None,
+                       weights_dir=str(tmp_path_factory.mktemp("w")))
+        h, w, c = tiny_env.config.image_shape
+        obs = dict(
+            state_image=jnp.zeros((mb, T, h, w, c)),
+            state_road=jnp.zeros((mb, T, 9)),
+            state_vehicle=jnp.zeros((mb, T, 4)),
+            state_navigation=jnp.zeros((mb, T, 5)),
+            action=jnp.full((mb, 2), 1e-7),      # boundary (full-brake) action
+        )
+        batch = dict(obs=obs, advantages=-jnp.ones((mb,)),
+                     log_prob=jnp.full((mb, 2), -300.0),  # deep-tail stored lp
+                     speed=jnp.zeros((mb,)), similarity=jnp.zeros((mb,)))
+        hyper = dict(clip_ratio=jnp.float32(0.2), entropy=jnp.float32(0.0))
+
+        def loss_fn(p_params):
+            total, _ = ag._policy_loss(p_params, ag.params["dynamics"],
+                                       ag.stats, batch, hyper,
+                                       jax.random.PRNGKey(0))
+            return total
+        loss = loss_fn(ag.params["policy"])
+        grads = jax.grad(loss_fn)(ag.params["policy"])
+        leaves = [np.asarray(g) for g in jax.tree_util.tree_leaves(grads)]
+        return float(loss), leaves
+
+    def test_unclamped_tail_overflows(self, tiny_env, tmp_path_factory):
+        loss, leaves = self._loss_and_grads(tiny_env, tmp_path_factory, 0.0)
+        assert not np.isfinite(loss)
+
+    def test_clamp_keeps_gradients_finite(self, tiny_env, tmp_path_factory):
+        loss, leaves = self._loss_and_grads(tiny_env, tmp_path_factory, 20.0)
+        assert np.isfinite(loss)
+        assert all(np.isfinite(g).all() for g in leaves)
+        assert any(np.abs(g).sum() > 0 for g in leaves)
