@@ -208,7 +208,7 @@ class CARLAgent:
         entropy = jnp.mean(dist.entropy())
 
         adv = batch["advantages"]
-        ratio = jnp.exp(log_prob - batch["log_prob"])
+        log_ratio = log_prob - batch["log_prob"]
         if self.config.ratio_clamp:
             # Off-policy importance truncation (IMPALA-style, TPU-new,
             # off by default): expert-rollout traces put stored actions deep
@@ -218,7 +218,11 @@ class CARLAgent:
             # clip zeroes the whole minibatch — silently dropping exactly the
             # braking/slow-down lessons (observed: loss_policy=inf late in
             # imitation probes).  Clamping bounds the update instead.
-            ratio = jnp.minimum(ratio, self.config.ratio_clamp)
+            # The clamp must happen in LOG space: min(exp(x), c) first
+            # overflows exp forward and then backpropagates 0 * inf = NaN
+            # through the clamped branch.
+            log_ratio = jnp.minimum(log_ratio, jnp.log(self.config.ratio_clamp))
+        ratio = jnp.exp(log_ratio)
         ratio = jnp.mean(ratio, axis=1)                    # per-action-ratio mean
         clip_v = hyper["clip_ratio"]
         min_adv = jnp.where(adv > 0.0, (1.0 + clip_v) * adv, (1.0 - clip_v) * adv)
@@ -370,7 +374,13 @@ class CARLAgent:
             def gather_batch(idx, key=None):
                 mb = {k: v[idx] for k, v in data.items()}
                 img = rollout_mod.gather_image_stacks(traj, flat_step[idx], flat_env[idx])
-                img = img.astype(jnp.float32) / 255.0
+                # frames are stored as half-res uint8 planes (envs/carla_env
+                # EnvState); reconstruct the (mb, T, H, 3W, C) [0,1] network
+                # input at minibatch-assembly time
+                from carla_driving_rl_agent_tpu.envs.carla_env import (
+                    planes_to_image)
+                ry, rx = env.config.upsample
+                img = planes_to_image(img, ry, rx).astype(jnp.float32) / 255.0
                 if cfg.aug_intensity > 0.0 and key is not None:
                     # probability-gated augmentation pipeline applied to each
                     # sample's whole T-stack (reference core/carla_agent.py:527-579)

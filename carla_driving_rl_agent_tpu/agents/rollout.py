@@ -27,8 +27,8 @@ class Trajectory(NamedTuple):
     vehicle: jax.Array       # (S, B, T, 4)
     navigation: jax.Array    # (S, B, T, N)
     stack_ids: jax.Array     # (S, B, T) frame ids (-T..S)
-    frames: jax.Array        # (S, B, H, W, C) uint8 — frame rendered at step s
-    init_stack: jax.Array    # (T, B, H, W, C) uint8 — stack content at rollout start
+    frames: jax.Array        # (S, B, C, SH, SW) uint8 planar — frame rendered at step s
+    init_stack: jax.Array    # (T, B, C, SH, SW) uint8 planar — stack at rollout start
     action: jax.Array        # (S, B, A) raw Beta samples in [0,1]
     log_prob: jax.Array      # (S, B, A)
     value: jax.Array         # (S, B, 2) (base, exp)
@@ -63,7 +63,7 @@ def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
 
     # snapshot the image stacks and relabel their slots -T..-1 so stored
     # stack indices are rollout-local
-    init_stack = jnp.swapaxes(env_states.image_stack, 0, 1)  # (T, B, H, W, C)
+    init_stack = jnp.swapaxes(env_states.image_stack, 0, 1)  # (T, B, C, SH, SW)
     batch = init_stack.shape[1]
     start_ids = jnp.tile(jnp.arange(-time_h, 0, dtype=jnp.int32)[None], (batch, 1))
     env_states = env_states._replace(stack_ids=start_ids)
@@ -160,7 +160,7 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
     num_blocks = num_steps // block
     time_h = env.config.time_horizon
 
-    init_stack = jnp.swapaxes(env_states.image_stack, 0, 1)  # (T, B, H, W, C)
+    init_stack = jnp.swapaxes(env_states.image_stack, 0, 1)  # (T, B, C, SH, SW)
     batch = init_stack.shape[1]
     start_ids = jnp.tile(jnp.arange(-time_h, 0, dtype=jnp.int32)[None], (batch, 1))
     env_states = env_states._replace(stack_ids=start_ids)
@@ -219,7 +219,9 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
 
 def gather_image_stacks(traj: Trajectory, sample_step: jax.Array,
                         sample_env: jax.Array) -> jax.Array:
-    """Reassemble (mb, T, H, W, C) image stacks for the given flat samples.
+    """Reassemble (mb, T, C, SH, SW) planar image stacks for the given flat
+    samples (storage form; envs.carla_env.planes_to_image reconstructs the
+    network's (mb, T, H, 3W, C) input).
 
     frames timeline: ids -T..-1 live in init_stack, 0..S-1 in frames; ids
     < -T are the zero-frame sentinel of episodes freshly reset mid-rollout
@@ -230,5 +232,5 @@ def gather_image_stacks(traj: Trajectory, sample_step: jax.Array,
     ids = traj.stack_ids[sample_step, sample_env]          # (mb, T)
     is_zero = ids < -time_h
     idx = jnp.clip(ids + time_h, 0, all_frames.shape[0] - 1)
-    frames = all_frames[idx, sample_env[:, None]]          # (mb, T, H, W, C)
+    frames = all_frames[idx, sample_env[:, None]]          # (mb, T, C, SH, SW)
     return jnp.where(is_zero[..., None, None, None], jnp.zeros_like(frames), frames)

@@ -71,6 +71,8 @@ def build_env(town: str = DEFAULT_TOWN, image_shape=(90, 120, 3),
               time_horizon: int = 4, past_obs_freq: int = 4,
               max_timesteps: int = 512, num_routes: int = 128,
               render_mode: str = "pallas", stack_depth: bool = False,
+              off_road_penalty_divisor: float = 100.0,
+              reward_speed_cap: float = 150.0,
               seed: int = 42, **_ignored) -> CARLAEnv:
     """Build a CARLAEnv from stage-style kwargs."""
     spawn = spawn or {}
@@ -87,6 +89,8 @@ def build_env(town: str = DEFAULT_TOWN, image_shape=(90, 120, 3),
         disable_reverse=disable_reverse,
         max_timesteps=max_timesteps, num_routes=num_routes,
         origin_spawns=tuple(origins) if origins else None,
+        off_road_penalty_divisor=off_road_penalty_divisor,
+        reward_speed_cap=reward_speed_cap,
         seed=seed)
     return CARLAEnv(CARLAEnvConfig(
         world=params, image_height=image_shape[0], image_width=image_shape[1],
@@ -319,9 +323,11 @@ TRAFFIC_SPECS = dict(no=None,
 def stage_s5(episodes: int, timesteps: int, batch_size: int, town: str,
              save_every=None, seed: int = 42, stage_name: str = "stage-s5",
              weather=None, traffic: str = "dense", num_envs: int = 32,
-             **kwargs) -> Stage:
+             env_overrides: Optional[dict] = None, **kwargs) -> Stage:
     """Stage-5: named town + traffic preset no/regular/dense
-    (reference `core/learning.py:453-498`, spec at `:485-487`)."""
+    (reference `core/learning.py:453-498`, spec at `:485-487`).
+    `env_overrides` are extra define_env kwargs (e.g. the safety-shaping
+    knobs of scripts/safety_finetune.py)."""
     assert traffic in TRAFFIC_SPECS
     hp = _stage_common(kwargs)
     aug = kwargs.pop("aug_intensity", 1.0)
@@ -332,7 +338,8 @@ def stage_s5(episodes: int, timesteps: int, batch_size: int, town: str,
     env = define_env(town=town, random_weathers=weather or list(TRAIN_WEATHERS),
                      spawn=TRAFFIC_SPECS[traffic],
                      throttle_as_desired_speed=True, disable_reverse=True,
-                     max_timesteps=timesteps, seed=seed)
+                     max_timesteps=timesteps, seed=seed,
+                     **(env_overrides or {}))
     return Stage(agent=agent, environment=env, name=stage_name,
                  learning=dict(agent=dict(episodes=episodes, timesteps=timesteps,
                                           save_every=save_every)))

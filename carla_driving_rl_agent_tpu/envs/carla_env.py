@@ -57,9 +57,27 @@ class _Bind:
         return False
 
 
+def planes_to_image(planar: jax.Array, ry: int, rx: int) -> jax.Array:
+    """(..., C, SH, SW) uint8 planar frame storage -> (..., SH*ry, SW*rx, C)
+    uint8 image (nearest upsample + channel-last interleave), any leading
+    dims.  Inverse of the storage layout produced by
+    rasterizer_pallas.tile_to_planes / CARLAEnv.render_frame."""
+    x = jnp.moveaxis(planar, -3, -1)                   # (..., SH, SW, C)
+    if ry > 1:
+        x = jnp.repeat(x, ry, axis=-3)
+    if rx > 1:
+        x = jnp.repeat(x, rx, axis=-2)
+    return x
+
+
 class EnvState(NamedTuple):
     world: WorldState
-    image_stack: jax.Array      # (T, H, 3W, C) uint8
+    image_stack: jax.Array      # (T, C, SH, SW) uint8 PLANAR storage
+    # Frames are stored channel-first at the renderer's native (half)
+    # resolution; CARLAEnv.observe() upsamples + interleaves to the
+    # (T, H, 3W, C) observation contract.  Rolling the 4x smaller uint8
+    # planes through the stack is the hot path (8 pushes per 32-step
+    # chunk at 1024 worlds); see config.storage_shape.
     road_stack: jax.Array       # (T, 9) float32
     vehicle_stack: jax.Array    # (T, 4)
     nav_stack: jax.Array        # (T, N)
@@ -84,6 +102,28 @@ class CARLAEnvConfig:
     def image_shape(self) -> Tuple[int, int, int]:
         c = 3 + (1 if self.stack_depth else 0)
         return (self.image_height, self.image_width * self.cameras, c)
+
+    @property
+    def storage_shape(self) -> Tuple[int, int, int]:
+        """(C, SH, SW) planar uint8 frame-STORAGE shape (see EnvState).
+
+        The Pallas renderer natively produces half-res (45, 60) views, so
+        pallas mode stores (C, 45, 180) and observe() upsamples 2x; the XLA
+        renderer paths upsample internally and store full-res planes."""
+        h, w, c = self.image_shape
+        if self.render_mode == "pallas":
+            from carla_driving_rl_agent_tpu.ops.rasterizer_pallas import (
+                VIEW_H, VIEW_W)
+            assert h % VIEW_H == 0 and w % (3 * VIEW_W) == 0, (h, w)
+            return (c, VIEW_H, 3 * VIEW_W)
+        return (c, h, w)
+
+    @property
+    def upsample(self) -> Tuple[int, int]:
+        """(ry, rx) nearest-upsample factors from storage to observation."""
+        h, w, _ = self.image_shape
+        _, sh, sw = self.storage_shape
+        return (h // sh, w // sw)
 
 
 class CARLAEnv:
@@ -157,9 +197,13 @@ class CARLAEnv:
 
     # ---- single-frame observation ----
     def render_frame(self, world: WorldState) -> jax.Array:
+        """One rendered frame in planar STORAGE form (config.storage_shape,
+        uint8 channel-first) — observe() reconstructs the (H, 3W, C) [0,1]
+        observation contract.  Pallas mode stores the kernel's native
+        half-res planes (no upsample on the push path)."""
         cfg = self.config
         if cfg.render_mode == "zeros":
-            return jnp.zeros(cfg.image_shape, jnp.uint8)
+            return jnp.zeros(cfg.storage_shape, jnp.uint8)
         if cfg.render_mode == "pallas":
             assert cfg.cameras == 3, "the Pallas kernel renders the 3-camera rig"
             return self._render_frame_pallas(world)
@@ -200,7 +244,8 @@ class CARLAEnv:
                                             width=cfg.image_width,
                                             quality=cfg.render_quality,
                                             return_depth=cfg.stack_depth)
-        return img
+        # XLA paths upsample internally -> full-res planar storage
+        return jnp.transpose(img, (2, 0, 1))
 
     def _render_inputs(self, world: WorldState):
         return rasterizer.RenderInputs(
@@ -230,13 +275,11 @@ class CARLAEnv:
         # padding], so the kernel only unrolls the head of the slot list
         n_actors = (min(RP.K_ACTORS // 2, self.params.v_max)
                     + min(RP.K_ACTORS // 2, self.params.p_max))
-        return RP.render_cameras_banked(self.town, world,
-                                        self.weather_params[world.weather_id],
-                                        height=cfg.image_height,
-                                        width=cfg.image_width,
-                                        interpret=interpret,
-                                        return_depth=cfg.stack_depth,
-                                        n_actors=n_actors)
+        return RP.render_planes_banked(self.town, world,
+                                       self.weather_params[world.weather_id],
+                                       interpret=interpret,
+                                       return_depth=cfg.stack_depth,
+                                       n_actors=n_actors)
 
     def frame_obs(self, world: WorldState):
         vec = world_mod.vector_observation(world, self.params, self.town, self.routes)
@@ -250,7 +293,7 @@ class CARLAEnv:
         323-325)."""
         cfg = self.config
         T = cfg.time_horizon
-        img_stack = jnp.zeros((T,) + cfg.image_shape, jnp.uint8).at[-1].set(frame["image"])
+        img_stack = jnp.zeros((T,) + cfg.storage_shape, jnp.uint8).at[-1].set(frame["image"])
         road_stack = jnp.zeros((T, 9)).at[-1].set(frame["road"])
         veh_stack = jnp.zeros((T, 4)).at[-1].set(frame["vehicle"])
         nav_stack = jnp.zeros((T, self.params.num_waypoints_for_feature)).at[-1].set(
@@ -281,8 +324,15 @@ class CARLAEnv:
         keys `past_control` (throttle, brake, steer, reverse — reference
         environment.py:1103-1104) and `command` (current RoadOption one-hot,
         environment.py:1092-1093); both are current-frame vectors derived
-        from the world state, no extra stacks."""
-        obs = dict(image=state.image_stack.astype(jnp.float32) / 255.0,
+        from the world state, no extra stacks.
+
+        The image stack is stored as half-res uint8 planes (EnvState);
+        reconstruction (upsample + channel interleave) happens HERE, once
+        per observation use, exactly matching the former push-time
+        tile_to_image epilogue (uint8 quantization before the repeat)."""
+        ry, rx = self.config.upsample
+        img = planes_to_image(state.image_stack, ry, rx)   # (T, H, 3W, C)
+        obs = dict(image=img.astype(jnp.float32) / 255.0,
                    road=state.road_stack, vehicle=state.vehicle_stack,
                    navigation=state.nav_stack)
         if self.config.cameras == 1:

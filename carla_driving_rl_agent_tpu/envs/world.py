@@ -111,6 +111,15 @@ class WorldParams:
     p_max: int = 1
     weather_ids: Tuple[int, ...] = (0,)  # indices into weather.WEATHER_NAMES
     collision_penalty: float = 1000.0
+    # Safety-shaping knobs (defaults = exact reference parity).  The parity
+    # off-road exit costs penalty/100 = 10 (core/carla_env.py:254-269), which
+    # barely prices death once the policy sharpens (diagnosed: ~0.9 collision
+    # rate, all off-road mid-segment); the 'safe' fine-tune recipe lowers the
+    # divisor (=> bigger off-road penalty) and caps the speed the reward can
+    # pay for, trading cruise speed for staying on the road the way the
+    # reference's own slow agents (8.5 km/h, 0.64 collisions) implicitly do.
+    off_road_penalty_divisor: float = 100.0
+    reward_speed_cap: float = 150.0     # km/h the reward credits at most
     throttle_as_desired_speed: bool = True
     disable_reverse: bool = True
     max_timesteps: int = 512
@@ -315,7 +324,9 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
     pen = params.collision_penalty
     collision_penalty = (jnp.where(hit_ped, pen, 0.0)
                          + jnp.where(hit_veh, pen / 2.0, 0.0)
-                         + jnp.where(hit_other, pen / 100.0, 0.0))
+                         + jnp.where(hit_other,
+                                     pen / params.off_road_penalty_divisor,
+                                     0.0))
     should_terminate = hit_veh | hit_ped | hit_other
 
     # --- reward ---
@@ -323,7 +334,7 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
     if params.reward_mode == "shaped":
         # OneCamera shaped reward (reference environment.py:905-923):
         # time_cost - collision + waypoint term + direction term + speed-limit
-        speed_c = jnp.minimum(spd_kmh, 150.0)
+        speed_c = jnp.minimum(spd_kmh, params.reward_speed_cap)
         direction = jnp.where((similarity >= 0.75) & (similarity <= 1.0),
                               speed_c * similarity,
                               (speed_c + 1.0) * jnp.abs(similarity) * -2.0)
@@ -333,8 +344,9 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
         speed_pen = jnp.where(spd_kmh > limit, 2.0 * (limit - spd_kmh), 0.0)
         reward = -1.0 - collision_penalty + wp_term + direction + speed_pen
     else:
-        # CARLAEnv reward (core/carla_env.py:182-202)
-        r_drive = spd_kmh * similarity
+        # CARLAEnv reward (core/carla_env.py:182-202); the cap is a no-op at
+        # the parity default (150 km/h is unreachable)
+        r_drive = jnp.minimum(spd_kmh, params.reward_speed_cap) * similarity
         damp = jnp.maximum(1.0, (d_next / 2.0) ** 2)
         r_drive = jnp.where(r_drive != 0.0, r_drive / damp, r_drive)
         reward = jnp.where(collision_penalty > 0.0, -collision_penalty, r_drive)

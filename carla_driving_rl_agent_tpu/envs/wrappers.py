@@ -131,7 +131,11 @@ class CARLAPlayWrapper:
             state, obs, reward, term, trunc, info = step(state, action)
             total += float(reward)
             if render is not None:
-                stop = render(np.asarray(jax.device_get(state.image_stack[-1])),
+                from carla_driving_rl_agent_tpu.envs.carla_env import (
+                    planes_to_image)
+                frame = planes_to_image(state.image_stack[-1],
+                                        *self.env.config.upsample)
+                stop = render(np.asarray(jax.device_get(frame)),
                               jax.device_get(info))
                 if stop:
                     break
@@ -253,7 +257,10 @@ def record_episodes(agent, name: str, timesteps: int, trials: int,
             from carla_driving_rl_agent_tpu.envs.carla_env import convert_action
             state, obs, reward, term, trunc, info = step(
                 state, convert_action(pred["action"][0]))
-            frames.append(np.asarray(state.image_stack[-1]))
+            from carla_driving_rl_agent_tpu.envs.carla_env import (
+                planes_to_image)
+            frames.append(np.asarray(planes_to_image(
+                state.image_stack[-1], *env.config.upsample)))
             total += float(reward)
             if (bool(term) or bool(trunc)) and t > 32:
                 break

@@ -439,6 +439,42 @@ def tile_to_image(planes: jax.Array, out_h: int = 90, out_w: int = 120,
     return img
 
 
+def tile_to_planes(planes: jax.Array, with_depth: bool = False) -> jax.Array:
+    """(C, 64, 128) kernel planes -> (C, VIEW_H, 3*VIEW_W) uint8 HALF-RES
+    planar storage (the three views side by side, NO upsample).
+
+    This is the storage form of the env's frame stacks: rolling uint8
+    half-res planes through EnvState costs 4x less HBM traffic than the
+    full-res (H, 3W, C) image, and the 2x nearest upsample + channel
+    interleave is deferred to CARLAEnv.observe() (once per frame USE instead
+    of once per frame PUSH + roll).  Exactness:
+    `carla_env.planes_to_image(tile_to_planes(p)) == tile_to_image(p)` —
+    both quantize to uint8 at half-res first and repeat afterwards
+    (repeat∘cast == cast∘repeat), pinned by tests/test_rasterizer.py.
+    """
+    c = 4 if with_depth else 3
+    flat = planes[:c].reshape(c, TILE[0] * TILE[1])[:, :N_PIX]
+    img = flat.reshape(c, 3, VIEW_H, VIEW_W)           # (chan, view, h, w)
+    if with_depth:
+        view_keep = jnp.asarray([0.0, 1.0, 0.0])       # front view only
+        img = img.at[3].mul(view_keep[:, None, None])
+    img = jnp.transpose(img, (0, 2, 1, 3))             # (chan, h, view, w)
+    return img.reshape(c, VIEW_H, 3 * VIEW_W).astype(jnp.uint8)
+
+
+def render_planes_banked(town, world, weather: jax.Array,
+                         interpret: bool = False,
+                         return_depth: bool = False,
+                         n_actors: int = K_ACTORS) -> jax.Array:
+    """Production render epilogue for planar storage: cell-table geometry
+    pack + kernel + tile_to_planes — returns (C, 45, 180) uint8, no
+    upsample (see tile_to_planes)."""
+    geom = pack_geometry_banked(town, world, weather)
+    planes = render_tile(geom, interpret=interpret, n_actors=n_actors,
+                         with_depth=return_depth)
+    return tile_to_planes(planes, with_depth=return_depth)
+
+
 def render_cameras_pallas(inputs: R.RenderInputs, height: int = 90,
                           width: int = 120, interpret: bool = False,
                           return_depth: bool = False) -> jax.Array:

@@ -42,8 +42,12 @@ AGENTS = {
     # device-resident PPO-on-expert-actions) and its sharp RL fine-tune
     # (scripts/imitation_finetune.py snapshot-gated pick); first candidate
     # with a FULL sweep wins
-    "imitation": ("imitation-probe-v3", "imitation-final",
+    "imitation": ("imitation-probe-v4", "imitation-probe-v3", "imitation-final",
                   "imitation-probe-v2", "imitation-probe", "imitation-rl"),
+    # TPU-new: the safety fine-tune (scripts/safety_finetune.py — off-road
+    # penalty x20 + 15 km/h reward speed cap on top of the sharp curriculum
+    # endpoint); included only once its sweep exists
+    "curriculum-safe": ("safe-s5",),
 }
 
 

@@ -168,7 +168,7 @@ def main():
 
     def rend_roll(states, key, consts):
         with env.bind(consts):
-            frame0 = jnp.zeros((n,) + env.config.image_shape, jnp.uint8)
+            frame0 = jnp.zeros((n,) + env.config.storage_shape, jnp.uint8)
             no_reset = jnp.zeros((n,), bool)
             def body(carry, i):
                 states, key = carry

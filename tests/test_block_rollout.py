@@ -148,7 +148,9 @@ class TestBlockRollout:
         # gather must resolve every recorded stack id
         img = rollout_mod.gather_image_stacks(
             traj, jnp.arange(S).repeat(B), jnp.tile(jnp.arange(B), S))
-        assert img.shape == (S * B, env.config.time_horizon, 48, 32 * 3, 3)
+        # planar storage form (C, SH, SW); planes_to_image rebuilds HWC
+        assert img.shape == (S * B, env.config.time_horizon) + \
+            env.config.storage_shape
 
     def test_block_ids_reference_pushed_frames(self, env):
         """After block b completes, live stacks' newest id is b; recorded

@@ -137,6 +137,45 @@ class TestBankedPallasPath:
         frac = (diff <= 2).mean()
         assert frac > 0.97, f"banked pack diverged: {1-frac:.4f} pixels differ"
 
+    def test_planar_storage_reconstructs_tile_to_image(self):
+        """planes_to_image(tile_to_planes(p)) must equal tile_to_image(p)
+        exactly — the env's planar half-res frame storage is a pure layout
+        change, not a semantic one (incl. the front-only depth mask)."""
+        import jax
+        from carla_driving_rl_agent_tpu.envs.carla_env import planes_to_image
+        for with_depth in (False, True):
+            planes = jax.random.uniform(
+                jax.random.PRNGKey(3), (4,) + RP.TILE, minval=0.0,
+                maxval=255.0)
+            full = np.asarray(RP.tile_to_image(planes, 90, 120,
+                                               with_depth=with_depth))
+            planar = RP.tile_to_planes(planes, with_depth=with_depth)
+            rebuilt = np.asarray(planes_to_image(planar, 2, 2))
+            np.testing.assert_array_equal(rebuilt, full)
+
+    def test_env_observe_reconstructs_full_res(self):
+        """End-to-end: a pallas-mode env stores (C, 45, 180) planes and
+        observe() rebuilds the (T, 90, 360, C) [0,1] contract."""
+        import jax
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            CARLAEnv, CARLAEnvConfig)
+        from carla_driving_rl_agent_tpu.envs.world import WorldParams
+        env = CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02",), num_routes=4,
+                              max_route_len=64, max_timesteps=16,
+                              num_vehicles=0, num_pedestrians=0,
+                              v_max=1, p_max=1),
+            image_height=90, image_width=120, render_mode="pallas"))
+        assert env.config.storage_shape == (3, 45, 180)
+        assert env.config.upsample == (2, 2)
+        state, obs = env.reset(jax.random.PRNGKey(2))
+        assert state.image_stack.shape == (4, 3, 45, 180)
+        assert obs["image"].shape == (4, 90, 360, 3)
+        img = np.asarray(obs["image"][-1])
+        assert img.std() > 0.01
+        # nearest-upsample structure: every 2x2 block is constant
+        np.testing.assert_array_equal(img[0::2, 0::2], img[1::2, 1::2])
+
     def test_cell_tables_cover_on_road_positions(self):
         """For points on the road, the cell table's nearest segment equals
         the exact nearest segment (center-distance ordering is exact at

@@ -64,9 +64,9 @@ class TestStackReconstruction:
         T = env.config.time_horizon
         assert int(state.stack_ids[0]) == -(T + 1)  # sentinel
         # simulate a trajectory record with sentinel ids and NONZERO buffers
-        H, W3, C = env.config.image_shape
-        frames = jnp.full((3, B, H, W3, C), 7, jnp.uint8)
-        init = jnp.full((T, B, H, W3, C), 9, jnp.uint8)
+        C, SH, SW = env.config.storage_shape
+        frames = jnp.full((3, B, C, SH, SW), 7, jnp.uint8)
+        init = jnp.full((T, B, C, SH, SW), 9, jnp.uint8)
         ids = jnp.full((3, B, T), -(T + 1), jnp.int32)
         traj = rmod.Trajectory(road=None, vehicle=None, navigation=None,
                                stack_ids=ids, frames=frames, init_stack=init,

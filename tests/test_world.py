@@ -213,6 +213,36 @@ class TestWorld:
         assert bool(term)
         assert float(reward) == pytest.approx(-params.collision_penalty / 100.0)
 
+    def test_safety_shaping_knobs(self, world_setup):
+        """off_road_penalty_divisor / reward_speed_cap: parity no-ops at
+        their defaults (pinned by the other reward tests), effective when
+        set by the 'safe' fine-tune recipe."""
+        import dataclasses
+        params, town, routes = world_setup
+        safe = dataclasses.replace(params, off_road_penalty_divisor=5.0,
+                                   reward_speed_cap=10.0)
+        # bigger off-road penalty
+        state = world_mod.reset_world(jax.random.PRNGKey(5), params, town, routes)
+        state = state._replace(x=jnp.asarray(5.0), y=jnp.asarray(5.0))
+        _, reward, term, *_ = world_mod.step_world(state, jnp.zeros(2),
+                                                   safe, town, routes)
+        assert bool(term)
+        assert float(reward) == pytest.approx(-safe.collision_penalty / 5.0)
+        # speed cap: drive fast, reward must price at most cap * similarity
+        state = world_mod.reset_world(jax.random.PRNGKey(1), params, town, routes)
+        step = jax.jit(lambda s, a: world_mod.step_world(s, a, safe, town, routes))
+        for _ in range(60):
+            r_yaw = routes.yaw[state.town_id, state.route_id, state.wp_idx]
+            err = float(jnp.arctan2(jnp.sin(r_yaw - state.yaw),
+                                    jnp.cos(r_yaw - state.yaw)))
+            a = jnp.array([1.0, np.clip(2.0 * err, -1, 1)], jnp.float32)
+            state, reward, term, trunc, info = step(state, a)
+            if bool(term):
+                break
+            spd = float(info["speed"])
+            if spd > 10.0:          # beyond the cap: reward can't credit it
+                assert float(reward) <= 10.0 * max(float(state.similarity), 0.0) + 1e-4
+
     def test_determinism(self, world_setup):
         params, town, routes = world_setup
         s1 = world_mod.reset_world(jax.random.PRNGKey(7), params, town, routes)
