@@ -73,6 +73,7 @@ def build_env(town: str = DEFAULT_TOWN, image_shape=(90, 120, 3),
               render_mode: str = "pallas", stack_depth: bool = False,
               off_road_penalty_divisor: float = 100.0,
               reward_speed_cap: float = 150.0,
+              speed_over_cap_penalty: float = 0.0,
               seed: int = 42, **_ignored) -> CARLAEnv:
     """Build a CARLAEnv from stage-style kwargs."""
     spawn = spawn or {}
@@ -91,6 +92,7 @@ def build_env(town: str = DEFAULT_TOWN, image_shape=(90, 120, 3),
         origin_spawns=tuple(origins) if origins else None,
         off_road_penalty_divisor=off_road_penalty_divisor,
         reward_speed_cap=reward_speed_cap,
+        speed_over_cap_penalty=speed_over_cap_penalty,
         seed=seed)
     return CARLAEnv(CARLAEnvConfig(
         world=params, image_height=image_shape[0], image_width=image_shape[1],

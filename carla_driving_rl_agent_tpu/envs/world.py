@@ -120,6 +120,12 @@ class WorldParams:
     # reference's own slow agents (8.5 km/h, 0.64 collisions) implicitly do.
     off_road_penalty_divisor: float = 100.0
     reward_speed_cap: float = 150.0     # km/h the reward credits at most
+    # NOTE deviation (safety-shaping knob, parity no-op at 0): reward
+    # penalty per km/h ABOVE reward_speed_cap. The cap alone only zeroes
+    # the incentive beyond it — measured on hardware (safe-s5 v1) the
+    # policy still cruises ~2 km/h over; this makes over-speed actively
+    # negative so the equilibrium moves below the cap.
+    speed_over_cap_penalty: float = 0.0
     throttle_as_desired_speed: bool = True
     disable_reverse: bool = True
     max_timesteps: int = 512
@@ -350,6 +356,10 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
         damp = jnp.maximum(1.0, (d_next / 2.0) ** 2)
         r_drive = jnp.where(r_drive != 0.0, r_drive / damp, r_drive)
         reward = jnp.where(collision_penalty > 0.0, -collision_penalty, r_drive)
+
+    if params.speed_over_cap_penalty:   # static: compiled out at parity 0.0
+        reward = reward - params.speed_over_cap_penalty * jnp.maximum(
+            spd_kmh - params.reward_speed_cap, 0.0)
 
     # --- terminal / truncation (environment.py:946-950; learn-loop cutoff) ---
     arrived = d_dest <= 2.0

@@ -3,15 +3,26 @@
 # the session cutoff interrupted, then spend remaining time on sweeps.
 # One TPU program at a time (single-vCPU host — never overlap with pytest).
 #
-# State on entry (check, don't assume):
-#   * weights/safe-s5 — per-epoch saves from scripts/safety_finetune.py
-#     (12 epochs requested; config.json update_step tells how far it got).
-#   * If logs/r2s3-safe-s5.log shows the gate printed, skip straight to
-#     the sweep decision; else gate with --skip-train.
+# State on entry (r2s3 results, check weights/*/evaluation JSONs):
+#   * safe-s5 v1 (divisor=5, cap=15, 12 ep): gate 0.94/4168 @ 16.8 km/h —
+#     FAILED; archived at weights/safe-s5-v1. Penalty scaling doesn't
+#     deter (forfeited future reward already dwarfs it); the agent also
+#     cruises ABOVE the reward cap since over-speed isn't negative.
+#   * safe-s5 v2 (divisor=1, cap=8, 16 ep) ran at session end — check its
+#     gate in weights/safe-s5/evaluation/ (log was logs/r2s3-safe-v2.log,
+#     wiped by the snapshot; the eval JSONs survive via git).
+#   * NEW knob available: speed_over_cap_penalty (world.py; CLI --over-cap)
+#     makes over-speed actively negative. v3 recipe if v2 failed:
+#       python scripts/safety_finetune.py --epochs 16 --divisor 1 --cap 8 \
+#           --over-cap 3
+#   * A full train(16ep)+gate cycle is ~25 min wall on the chip (measured);
+#     fresh compile included. Iterate, don't wait.
+# FIRST (CPU, before any TPU program): python -m pytest tests/test_world.py -q
 set -u
 cd /root/repo
 
-if ! grep -q '"gate"' logs/r2s3-safe-s5.log 2>/dev/null; then
+GATE_JSON=weights/safe-s5/evaluation/safe-s5-train-512-50-Town03-no-42.json
+if [ ! -f "$GATE_JSON" ]; then
   echo "=== $(date -u +%H:%M:%S) safe-s5 gate (resume after cutoff) ==="
   timeout 5400 python scripts/safety_finetune.py --skip-train \
     > logs/r2s4-safe-gate.log 2>&1

@@ -35,7 +35,8 @@ os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NAME = "safe-s5"
 
 
-def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float):
+def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
+          over_cap: float = 0.0):
     from main import sharp_recipe, EPISODES, TIMESTEPS, BATCH, acquire_run_lock
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
 
@@ -58,7 +59,8 @@ def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float):
         town="Town03", traffic="no" if tiny else "regular",
         stage_name=NAME, save_every="end",
         env_overrides=dict(off_road_penalty_divisor=divisor,
-                           reward_speed_cap=cap),
+                           reward_speed_cap=cap,
+                           speed_over_cap_penalty=over_cap),
         **sharp_recipe())
     stage.run2(epochs=1 if tiny else epochs, copy_weights=False)
 
@@ -90,6 +92,9 @@ if __name__ == "__main__":
     ap.add_argument("--source", default="stage-s5-sharp")
     ap.add_argument("--cap", type=float, default=15.0)
     ap.add_argument("--divisor", type=float, default=5.0)
+    ap.add_argument("--over-cap", type=float, default=0.0,
+                    help="reward penalty per km/h above --cap "
+                         "(WorldParams.speed_over_cap_penalty)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
@@ -98,5 +103,6 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
     if not args.skip_train:
-        train(args.epochs, args.tiny, args.source, args.cap, args.divisor)
+        train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
+              over_cap=args.over_cap)
     print(json.dumps({"gate": gate(args.tiny)}), flush=True)

@@ -243,6 +243,29 @@ class TestWorld:
             if spd > 10.0:          # beyond the cap: reward can't credit it
                 assert float(reward) <= 10.0 * max(float(state.similarity), 0.0) + 1e-4
 
+    def test_speed_over_cap_penalty(self, world_setup):
+        """speed_over_cap_penalty: parity no-op at 0, subtracts
+        coef * max(spd - cap, 0) when set (safe-s5 v3 recipe)."""
+        import dataclasses
+        params, town, routes = world_setup
+        capped = dataclasses.replace(params, reward_speed_cap=10.0)
+        pen = dataclasses.replace(capped, speed_over_cap_penalty=3.0)
+        # drive straight until the car exceeds the cap, then compare the
+        # same (state, action) under both parameterizations
+        state = world_mod.reset_world(jax.random.PRNGKey(1), params, town, routes)
+        a = jnp.array([1.0, 0.0], jnp.float32)
+        for _ in range(40):
+            state, _, term, _, info = world_mod.step_world(state, a, capped,
+                                                           town, routes)
+            if bool(term) or float(info["speed"]) > 12.0:
+                break
+        assert float(info["speed"]) > 10.0, "car never exceeded the cap"
+        _, r_cap, *_ = world_mod.step_world(state, a, capped, town, routes)
+        _, r_pen, *_ = world_mod.step_world(state, a, pen, town, routes)
+        _, _, _, _, info2 = world_mod.step_world(state, a, capped, town, routes)
+        over = max(float(info2["speed"]) - 10.0, 0.0)
+        assert float(r_pen) == pytest.approx(float(r_cap) - 3.0 * over, abs=1e-3)
+
     def test_determinism(self, world_setup):
         params, town, routes = world_setup
         s1 = world_mod.reset_world(jax.random.PRNGKey(7), params, town, routes)
