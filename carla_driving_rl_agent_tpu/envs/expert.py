@@ -44,7 +44,10 @@ BEHAVIORS = dict(
 )
 
 STEER_GAIN = 1.8
-STEER_CAP = 0.8          # reference controller.py caps steer at 0.8
+STEER_CAP = 0.8          # reference controller.py:22 max_steering=0.8
+STEER_SLEW = 0.1         # reference controller.py:72-75 ±0.1/step slew limit
+MAX_THROTTLE = 0.75      # reference controller.py:22 max_throttle
+MAX_BRAKE = 0.3          # reference controller.py:22 max_brake
 LOOKAHEAD = 3            # route waypoints ahead for the steering target
 
 _PROFILE_KEYS = ("speed_factor", "hazard_distance", "brake_gain",
@@ -81,7 +84,13 @@ def expert_action(state: WorldState, params: WorldParams, town: TownDev,
     desired_yaw = jnp.arctan2(to_t[1], to_t[0])
     yaw_err = jnp.arctan2(jnp.sin(desired_yaw - state.yaw),
                           jnp.cos(desired_yaw - state.yaw))
-    steer = jnp.clip(STEER_GAIN * yaw_err, -STEER_CAP, STEER_CAP)
+    # VehiclePIDController steering regulation (controller.py:70-85): slew
+    # the raw command to within ±0.1/step of the PREVIOUSLY APPLIED steering
+    # (state.steer is last step's control, = past_steering), then cap at 0.8.
+    raw_steer = STEER_GAIN * yaw_err
+    steer = jnp.clip(raw_steer, state.steer - STEER_SLEW,
+                     state.steer + STEER_SLEW)
+    steer = jnp.clip(steer, -STEER_CAP, STEER_CAP)
 
     # desired speed: limit * behaviour factor
     limit = tgather(town.wp_speed_limit, state.town_id, 0)
@@ -130,5 +139,13 @@ def expert_action(state: WorldState, params: WorldParams, town: TownDev,
     # slow for sharp turns
     desired = desired * (1.0 - 0.7 * jnp.clip(jnp.abs(yaw_err) / 0.8, 0.0, 1.0))
 
+    # throttle/brake caps (controller.py:63-68, max_throttle=0.75
+    # max_brake=0.3) mapped through the throttle-as-desired-speed encoding
+    # (dynamics.actions_to_control: throttle=(desired-cur)/100,
+    # brake=(cur-desired)/100): cap the commanded speed DELTA so the env's
+    # derived control never exceeds the reference PID's output limits.
+    cur_kmh = state.v * 3.6
+    desired = jnp.clip(desired, cur_kmh - 100.0 * MAX_BRAKE,
+                       cur_kmh + 100.0 * MAX_THROTTLE)
     a0 = jnp.clip(2.0 * desired / 100.0 - 1.0, -1.0, 1.0)
     return jnp.stack([a0, steer])

@@ -202,36 +202,162 @@ class CARLAPlayWrapper:
             pygame.quit()
 
 
+def nocrash_success(steps, collided, arrived, route_length_m,
+                    avg_speed_kmh: float = 10.0):
+    """NoCrash success predicate (reference `environment.py:1397-1435`):
+    per-episode time budget = route_length / avg_speed * 3.6 seconds
+    (`:1402`) converted to env steps at the fixed 1/30 s tick; success =
+    arrived within budget with no vehicle/pedestrian collision.
+    Returns (success, in_time, budget_steps) as numpy arrays."""
+    from carla_driving_rl_agent_tpu.envs.dynamics import DT
+    steps = np.asarray(steps)
+    budget_steps = np.asarray(route_length_m) / avg_speed_kmh * 3.6 / DT
+    in_time = steps <= budget_steps
+    success = np.asarray(arrived) & ~np.asarray(collided) & in_time
+    return success, in_time, budget_steps
+
+
 class CARLABenchmark:
     """CoRL2017/NoCrash-style benchmark (reference `environment.py:1309-1451`):
-    success = reaching the destination within a time budget derived from the
-    route length at 10 km/h average speed, under a task's traffic preset."""
+    success = reaching the destination within a per-route time budget derived
+    from the route length at `avg_speed` km/h, without colliding, under a
+    task's town-specific traffic preset.
 
-    TASKS = dict(empty=dict(vehicles=0, pedestrians=0),
-                 regular=dict(vehicles=20, pedestrians=50),
-                 dense=dict(vehicles=100, pedestrians=250))
+    Fidelity notes (reference lines in parens):
+      * Town01 = train town, Town02 = test town (`:1332-1333`); task specs
+        give per-town vehicle/pedestrian counts (`:1352-1362`).
+      * `weather=None` defaults to TEST_WEATHERS even for the train preset —
+        a reference quirk preserved (`:1391-1392`).
+      * time budget: `route_length / avg_speed * 3.6` seconds (`:1402`),
+        converted to env steps at dt = 1/30 s.
+      * sidewalk contact does not count as a collision (`:1404-1408`); here
+        the analogous `hit_other` (off-road exit) terminates the episode but
+        is not counted as collision — the episode simply fails to arrive,
+        mirroring the reference's disabled out-of-lane termination (`:1428`).
+    """
 
-    def __init__(self, agent, avg_speed_kmh: float = 10.0):
+    TRAIN_TOWN = "Town01"
+    TEST_TOWN = "Town02"
+    # reference `:1334-1343`; names resolve against envs/weather._PRESETS
+    TRAIN_WEATHERS = ["ClearNoon", "ClearSunset", "SoftRainNoon",
+                      "SoftRainSunset"]
+    TEST_WEATHERS = ["CloudyNoon", "SoftRainSunset", "WetCloudyNoon",
+                     "MidRainyNoon", "CloudySunset", "HardRainSunset"]
+    # reference TASKS_SPEC `:1352-1362` — per-town actor counts
+    TASKS_SPEC = {
+        "empty": {TRAIN_TOWN: dict(vehicles=0, pedestrians=0),
+                  TEST_TOWN: dict(vehicles=0, pedestrians=0)},
+        "regular": {TRAIN_TOWN: dict(vehicles=20, pedestrians=50),
+                    TEST_TOWN: dict(vehicles=15, pedestrians=50)},
+        "dense": {TRAIN_TOWN: dict(vehicles=100, pedestrians=250),
+                  TEST_TOWN: dict(vehicles=70, pedestrians=150)},
+    }
+
+    def __init__(self, agent, task: str = "empty", preset: str = "test",
+                 weather: Optional[list] = None, avg_speed: float = 10.0,
+                 render_mode: Optional[str] = None):
+        assert task in self.TASKS_SPEC
+        assert preset in ("test", "train")
         self.agent = agent
-        self.avg_speed = avg_speed_kmh
+        self.task = task
+        self.avg_speed = avg_speed
+        self.town = self.TEST_TOWN if preset == "test" else self.TRAIN_TOWN
+        self.task_spec = self.TASKS_SPEC[task][self.town]
+        # reference `:1391-1392`: default weathers are the TEST set
+        self.weathers = list(weather) if weather is not None \
+            else list(self.TEST_WEATHERS)
+        self._render_mode = render_mode
+        self._run_fn = None
+
+    def _build_env(self, timesteps: int) -> CARLAEnv:
+        from carla_driving_rl_agent_tpu.curriculum.stages import build_env
+        agent_env = self.agent.env
+        return build_env(
+            town=self.town, random_weathers=self.weathers,
+            spawn=dict(self.task_spec), max_timesteps=timesteps,
+            render_mode=self._render_mode or agent_env.config.render_mode,
+            time_horizon=agent_env.config.time_horizon,
+            past_obs_freq=agent_env.config.past_obs_freq,
+            stack_depth=agent_env.config.stack_depth)
 
     def run(self, timesteps: int = 1024, trials: int = 25,
             initial_seed: int = 42) -> dict:
-        """Success-rate over `trials` episodes on the agent's env."""
+        """Success-rate over `trials` parallel episodes on the benchmark env.
+
+        One jitted program: resets `trials` worlds in the benchmark town,
+        measures each spawned route's remaining length, rolls the agent's
+        policy to termination, and scores success = arrived (d_dest <= 2 m,
+        reference `:1413-1415`) within the per-route step budget with no
+        vehicle/pedestrian collision."""
         agent = self.agent
-        env = agent.env
-        results = agent.evaluate(name=f"benchmark-{int(time.time())}",
-                                 timesteps=timesteps, trials=trials,
-                                 initial_seed=initial_seed)
-        # success: no collision AND finished before truncation
-        # (arrival terminates the episode before max_timesteps)
-        successes = [
-            (c == 0.0) and (t < timesteps)
-            for c, t in zip(results["collision_rate"], results["timesteps"])
-        ]
-        return dict(success_rate=float(np.mean(successes)),
-                    collision_rate=float(np.mean(results["collision_rate"])),
-                    avg_timesteps=float(np.mean(results["timesteps"])))
+        env = self._build_env(timesteps)
+        net = agent.network
+        from carla_driving_rl_agent_tpu.envs.carla_env import convert_action
+        from carla_driving_rl_agent_tpu.envs.world import tgather
+
+        def run_fn(params, stats, key, consts):
+            with env.bind(consts):
+                k_reset, key = jax.random.split(key)
+                states, _ = env.reset_batch(k_reset, trials)
+
+                # remaining route length (m) at spawn: sum of polyline
+                # segments from the spawn waypoint to the destination
+                # (reference `route.distance_to_destination`, `:1401`)
+                def route_len_m(w):
+                    r_len = tgather(env.routes.length, w.town_id, w.route_id)
+                    xy = tgather(env.routes.xy, w.town_id, w.route_id)
+                    seg = jnp.linalg.norm(xy[1:] - xy[:-1], axis=-1)
+                    i = jnp.arange(seg.shape[0])
+                    m = (i >= w.wp_idx) & (i < r_len - 1)
+                    return jnp.sum(seg * m)
+
+                route_m = jax.vmap(route_len_m)(states.world)
+
+                def step_fn(carry, _):
+                    states, key, acc = carry
+                    key, k = jax.random.split(key)
+                    obs = env.observe(states)
+                    net_in = {f"state_{k2}": v for k2, v in obs.items()}
+                    net_in["action"] = states.last_action
+                    pred = net.predict(params, stats, net_in, k)
+                    states, _, reward, term, trunc, info = env.step_batch(
+                        states, convert_action(pred["action"]))
+                    # score only each world's FIRST episode (auto-reset)
+                    alive = info["episode"] == 0.0
+                    done = (term | trunc) & alive
+                    acc = dict(
+                        steps=acc["steps"] + alive.astype(jnp.float32),
+                        collided=acc["collided"] | (
+                            (info["hit_vehicle"] | info["hit_pedestrian"])
+                            & alive),
+                        arrived=acc["arrived"] | (
+                            done & (info["distance_to_destination"] <= 2.0)),
+                    )
+                    return (states, key, acc), None
+
+                acc0 = dict(steps=jnp.zeros((trials,)),
+                            collided=jnp.zeros((trials,), bool),
+                            arrived=jnp.zeros((trials,), bool))
+                (_, _, acc), _ = jax.lax.scan(step_fn, (states, key, acc0),
+                                              None, length=timesteps)
+                return acc, route_m
+
+        acc, route_m = jax.device_get(
+            jax.jit(run_fn)(agent.params, agent.stats,
+                            jax.random.PRNGKey(initial_seed), env.consts))
+        success, in_time, budget_steps = nocrash_success(
+            acc["steps"], acc["collided"], acc["arrived"], route_m,
+            self.avg_speed)
+        return dict(
+            success_rate=float(np.mean(success)),
+            success_rate_pct=float(np.mean(success)) * 100.0,
+            collision_rate=float(np.mean(acc["collided"])),
+            timeout_rate=float(np.mean(~in_time)),
+            avg_timesteps=float(np.mean(acc["steps"])),
+            avg_route_length_m=float(np.mean(route_m)),
+            avg_budget_steps=float(np.mean(budget_steps)),
+            town=self.town, task=self.task, trials=trials,
+        )
 
 
 def record_episodes(agent, name: str, timesteps: int, trials: int,

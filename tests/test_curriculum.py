@@ -250,3 +250,39 @@ class TestExpert:
         coll = jax.jit(roll)(states)
         rate = float(coll.mean())
         assert rate < 0.2, f"expert dense-traffic collision rate {rate:.2f}"
+
+    def test_expert_pid_control_texture(self):
+        """VehiclePIDController fidelity (reference controller.py:22,63-85):
+        steering changes by at most ±0.1/step from the previously APPLIED
+        steering, |steer| <= 0.8, and the commanded desired speed never
+        implies throttle > 0.75 or brake > 0.3 through the
+        throttle-as-desired-speed mapping."""
+        import jax
+        from carla_driving_rl_agent_tpu.envs import expert as ex
+        from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
+        from carla_driving_rl_agent_tpu.envs.world import WorldParams
+
+        env = CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town03",), num_routes=16,
+                              max_route_len=256, max_timesteps=256),
+            image_height=48, image_width=32, render_mode="zeros"))
+        state, _ = env.reset(jax.random.PRNGKey(7))
+        step = jax.jit(env.step)
+        act = jax.jit(lambda w: ex.expert_action(w, env.params, env.town,
+                                                 env.routes))
+        prev_steer = float(state.world.steer)
+        for t in range(120):
+            a = act(state.world)
+            steer = float(a[1])
+            assert abs(steer) <= ex.STEER_CAP + 1e-6
+            assert abs(steer - prev_steer) <= ex.STEER_SLEW + 1e-6, \
+                f"step {t}: steer slew {steer - prev_steer:+.3f}"
+            desired_kmh = (float(a[0]) + 1.0) / 2.0 * 100.0
+            cur_kmh = float(state.world.v) * 3.6
+            assert (desired_kmh - cur_kmh) / 100.0 <= ex.MAX_THROTTLE + 1e-6
+            assert (cur_kmh - desired_kmh) / 100.0 <= ex.MAX_BRAKE + 1e-6
+            state, _, reward, term, trunc, info = step(state, a)
+            # past_steering = the control the env actually applied
+            prev_steer = float(state.world.steer)
+            if bool(term) or bool(trunc):
+                break
