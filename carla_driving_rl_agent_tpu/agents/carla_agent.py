@@ -69,6 +69,23 @@ class CARLAgentConfig:
     # rollout.run_rollout_blocks). ~3-4x rollout speedup; set False for
     # strict per-episode push-phase parity.
     rollout_block: bool = False
+    # zero the advantage of block-rollout sub-steps whose recorded obs
+    # predate a mid-block auto-reset (Trajectory.post_reset): those
+    # transitions pair the old episode's observation with the new episode's
+    # reward, so they must not contribute policy gradient.  No-op for the
+    # per-step path (post_reset is all-zero there).
+    mask_post_reset: bool = True
+    # fused policy+value update: ONE minibatch scan whose joint loss shares a
+    # single ShuffleNet backbone pass between the policy and value
+    # objectives, instead of the reference's two sequential phases that each
+    # re-run the backbone (rl/agents/ppo.py:190-226).  Halves the dominant
+    # per-sample cost (backbone fwd+bwd) and the minibatch gather/augment
+    # work.  Deviations vs the sequential path (all documented here, parity
+    # path unchanged by default): policy and value see the SAME permutation;
+    # the dynamics gradient is the sum of both objectives' contributions,
+    # clipped once; value updates see policy-phase dynamics params one
+    # minibatch fresher.  optimization_steps[0] is the shared epoch count.
+    fused_update: bool = False
     aug_intensity: float = 0.0
     aux: float = 1.0
     seed: int = 42
@@ -193,6 +210,15 @@ class CARLAgent:
         params = dict(policy=p_params, dynamics=d_params)
         feat, d_stats = self.network.dynamics_apply(params, stats, batch["obs"],
                                                     training=True)
+        total, aux_out = self._policy_objective(params, stats, feat, batch,
+                                                hyper, key)
+        aux_out["d_stats"] = d_stats
+        return total, aux_out
+
+    def _policy_objective(self, params, stats, feat, batch, hyper, key):
+        """Policy head objective on precomputed dynamics features (the
+        backbone pass is the caller's: _policy_loss runs it alone, the fused
+        update shares one pass with the value objective)."""
         pol, p_stats = self.network.policy_apply(params, stats, feat, training=True)
         dist: Beta = pol["dist"]
 
@@ -233,7 +259,7 @@ class CARLAgent:
         sim_loss = 0.5 * jnp.mean(jnp.square(batch["similarity"] - pol["similarity"][:, 0]))
 
         total = policy_loss - entropy_penalty + self.config.aux * (speed_loss + sim_loss)
-        aux_out = dict(d_stats=d_stats, p_stats=p_stats, loss_policy=policy_loss,
+        aux_out = dict(p_stats=p_stats, loss_policy=policy_loss,
                        entropy=entropy, ratio=jnp.mean(ratio),
                        kl=jnp.mean(um.kl_divergence(batch["log_prob"], log_prob)))
         return total, aux_out
@@ -242,6 +268,13 @@ class CARLAgent:
         params = dict(value=v_params, dynamics=d_params)
         feat, d_stats = self.network.dynamics_apply(params, stats, batch["obs"],
                                                     training=True)
+        total, aux_out = self._value_objective(params, stats, feat, batch)
+        aux_out["d_stats"] = d_stats
+        return total, aux_out
+
+    def _value_objective(self, params, stats, feat, batch):
+        """Value head objective on precomputed dynamics features (see
+        _policy_objective)."""
         val, v_stats = self.network.value_apply(params, stats, feat, training=True)
         values = val["value"]
         returns = batch["returns"]
@@ -254,7 +287,7 @@ class CARLAgent:
         sim_loss = jnp.mean(jnp.square(batch["similarity"] - val["similarity"][:, 0]))
 
         total = (value_loss + self.config.aux * (speed_loss + sim_loss)) * 0.25
-        aux_out = dict(d_stats=d_stats, v_stats=v_stats, loss_value=value_loss)
+        aux_out = dict(v_stats=v_stats, loss_value=value_loss)
         return total, aux_out
 
     # ------------------------------------------------------------------
@@ -341,6 +374,11 @@ class CARLAgent:
             adv_raw, _ = um.batched_gae(rewards, values, done, bootstrap,
                                         cfg.gamma, cfg.lambda_)
             advantages = um.sp_norm(adv_raw) * hyper["adv_scale"]
+            if cfg.mask_post_reset:
+                # block-rollout obs/reward mismatch mitigation (see
+                # rollout.Trajectory.post_reset); masked AFTER sp_norm so the
+                # normalization statistics stay deterministic w.r.t. GAE
+                advantages = advantages * (1.0 - traj.post_reset)
 
             def returns_scan(carry, xs):
                 r, d = xs
@@ -396,6 +434,91 @@ class CARLAgent:
                            state_navigation=mb["navigation"], action=mb["action"])
                 mb["obs"] = obs
                 return mb
+
+            # ---- fused policy+value+dynamics updates (one backbone pass) ----
+            if cfg.fused_update:
+                perm = jax.random.permutation(k_shuffle_p, S * B)
+
+                def fused_minibatch(carry, mb_idx):
+                    params, stats, opt_state, key = carry
+                    key, k_s, k_aug = jax.random.split(key, 3)
+                    idx = jax.lax.dynamic_slice_in_dim(
+                        perm, mb_idx * cfg.batch_size, cfg.batch_size)
+                    batch = gather_batch(idx, k_aug)
+
+                    def loss_fn(pvd):
+                        feat, d_stats = net.dynamics_apply(
+                            pvd, stats, batch["obs"], training=True)
+                        p_total, p_aux = self._policy_objective(
+                            pvd, stats, feat, batch, hyper, k_s)
+                        v_total, v_aux = self._value_objective(
+                            pvd, stats, feat, batch)
+                        return p_total + v_total, dict(p_aux, **v_aux,
+                                                       d_stats=d_stats)
+
+                    (loss, aux), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(
+                        dict(policy=params["policy"], value=params["value"],
+                             dynamics=params["dynamics"]))
+
+                    g_pol = um.clip_gradients(grads["policy"], cfg.clip_norm[0])
+                    g_val = um.clip_gradients(grads["value"], cfg.clip_norm[1])
+                    g_dyn = um.clip_gradients(grads["dynamics"], cfg.clip_norm[2])
+
+                    # old_policy <- policy BEFORE applying (ppo.py:238-252)
+                    new_params = dict(params, old_policy=params["policy"])
+                    up, opt_p = self.policy_opt.update(
+                        g_pol, opt_state["policy"], params["policy"])
+                    new_policy = optax.apply_updates(params["policy"], up)
+                    uv, opt_v = self.value_opt.update(
+                        g_val, opt_state["value"], params["value"])
+                    new_value = optax.apply_updates(params["value"], uv)
+                    if cfg.polyak < 1.0:
+                        new_policy = um.polyak_average(
+                            new_policy, params["policy"], cfg.polyak)
+                        new_value = um.polyak_average(
+                            new_value, params["value"], cfg.polyak)
+                    new_params["policy"] = new_policy
+                    new_params["value"] = new_value
+                    opt_d = opt_state["dynamics"]
+                    if cfg.update_dynamics:
+                        ud, opt_d = self.dynamics_opt.update(
+                            g_dyn, opt_state["dynamics"], params["dynamics"])
+                        new_params["dynamics"] = optax.apply_updates(
+                            params["dynamics"], ud)
+                    new_stats = dict(stats, dynamics=aux["d_stats"],
+                                     policy=aux["p_stats"], value=aux["v_stats"])
+                    new_opt = dict(policy=opt_p, value=opt_v, dynamics=opt_d)
+                    metrics = dict(loss_policy=aux["loss_policy"],
+                                   entropy=aux["entropy"], ratio=aux["ratio"],
+                                   kl=aux["kl"], loss_total=loss,
+                                   loss_value=aux["loss_value"])
+                    return (new_params, new_stats, new_opt, key), metrics
+
+                mb_ids_f = jnp.tile(jnp.arange(n_minibatches),
+                                    cfg.optimization_steps[0])
+                (params, stats, opt_state, key), f_metrics = jax.lax.scan(
+                    fused_minibatch, (params, stats, opt_state, key), mb_ids_f)
+                p_metrics = f_metrics
+                v_metrics = dict(loss_value=f_metrics["loss_value"])
+
+                metrics = dict(
+                    reward_mean=jnp.mean(traj.reward),
+                    episode_done=jnp.sum(done),
+                    collision_rate=jnp.sum(traj.terminated)
+                    / jnp.maximum(jnp.sum(done), 1.0),
+                    speed_mean=jnp.mean(traj.speed),
+                    similarity_mean=jnp.mean(traj.similarity),
+                    advantage_abs=jnp.mean(jnp.abs(advantages)),
+                    returns_mean=jnp.mean(returns_raw),
+                    value_mean=jnp.mean(values),
+                    loss_policy=jnp.mean(p_metrics["loss_policy"]),
+                    loss_value=jnp.mean(v_metrics["loss_value"]),
+                    entropy=jnp.mean(p_metrics["entropy"]),
+                    ratio=jnp.mean(p_metrics["ratio"]),
+                    kl=jnp.mean(p_metrics["kl"]),
+                )
+                return params, stats, opt_state, env_states, key, metrics
 
             # ---- policy + dynamics updates ----
             perm_p = jax.random.permutation(k_shuffle_p, S * B)

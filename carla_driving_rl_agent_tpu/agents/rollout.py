@@ -37,6 +37,13 @@ class Trajectory(NamedTuple):
     truncated: jax.Array     # (S, B)
     speed: jax.Array         # (S, B) km/h (aux target, env info)
     similarity: jax.Array    # (S, B) (aux target, env info)
+    # 1.0 where the sub-step's recorded obs predate a mid-block auto-reset
+    # (block rollout only; all-zero for the per-step path).  These <=block-1
+    # transitions per episode boundary pair the PRE-reset episode's obs with
+    # the POST-reset episode's rewards; the trainer zeroes their advantage
+    # (CARLAgentConfig.mask_post_reset) so they contribute no policy
+    # gradient.
+    post_reset: jax.Array = None  # (S, B)
 
 
 def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
@@ -109,6 +116,7 @@ def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
             reward=reward, terminated=term.astype(jnp.float32),
             truncated=trunc.astype(jnp.float32),
             speed=info["speed"], similarity=info["similarity"],
+            post_reset=jnp.zeros_like(reward),
         )
         return (new_states, key), record
 
@@ -141,19 +149,14 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
     Trajectory.frames has one entry per BLOCK (ids stay consistent because
     stack_ids index into init_stack ++ frames).
 
-    Sub-steps following a mid-block auto-reset record the block-start value
-    estimate as their baseline (<=block-1 steps of a fresh episode with a
-    stale V). A baseline does not bias the policy gradient as long as it is
-    action-independent, which this one is.  More broadly, those <=block-1
-    sub-steps record the PRE-reset episode's stack_ids/obs together with the
-    POST-reset episode's rewards/term flags — an obs/reward mismatch, not
-    just a stale baseline: the policy-gradient term for those transitions
-    conditions on an observation that does not describe the world the reward
-    came from.  This is bounded to <=(block-1)/episode_length of transitions
-    per episode boundary (<0.6% at block=4, 512-step episodes), matches the
-    zero-stack episode starts the reference itself trains on
-    (core/carla_env.py:323-325), and the path is opt-in
-    (rollout_block=False default).
+    Sub-steps following a mid-block auto-reset record the PRE-reset
+    episode's stack_ids/obs together with the POST-reset episode's
+    rewards/term flags — an obs/reward mismatch bounded to <=(block-1)
+    transitions per episode boundary (<0.6% at block=4, 512-step episodes).
+    These sub-steps are flagged in Trajectory.post_reset and the trainer
+    zeroes their advantage (CARLAgentConfig.mask_post_reset, default on),
+    so they contribute value/aux signal on real (if stale) observations but
+    no policy gradient.
     """
     block = block_size or env.config.past_obs_freq
     assert num_steps % block == 0, (num_steps, block)
@@ -177,13 +180,18 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
         def sub_step(inner, i):
             states, was_reset = inner
             action01 = pred["action"][i]
+            # a sub-step is obs/reward-mismatched iff a reset happened at an
+            # EARLIER sub-step of this block (the reset step itself observed
+            # the world that produced its reward) — flag the entry state
+            post_reset = was_reset.astype(jnp.float32)
             states, reward, term, trunc, info, did_reset = \
                 env.step_physics_batch(states, convert_action(action01))
             states = states._replace(last_action=action01)
             rec = dict(action=action01, log_prob=pred["log_prob"][i],
                        reward=reward, terminated=term.astype(jnp.float32),
                        truncated=trunc.astype(jnp.float32),
-                       speed=info["speed"], similarity=info["similarity"])
+                       speed=info["speed"], similarity=info["similarity"],
+                       post_reset=post_reset)
             return (states, was_reset | did_reset), rec
 
         (states, was_reset), sub = jax.lax.scan(

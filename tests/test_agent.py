@@ -80,6 +80,35 @@ class TestCARLAgent:
         assert agent.policy_lr.step == before + 1
 
 
+class TestFusedUpdate:
+    """CARLAgentConfig.fused_update: one minibatch scan, one shared backbone
+    pass for the policy+value objectives (vs the reference's two sequential
+    phases, rl/agents/ppo.py:190-226)."""
+
+    def test_fused_update_learns(self, tiny_env, tmp_path_factory):
+        cfg = CARLAgentConfig(num_envs=4, rollout_steps=8, batch_size=8,
+                              network=TINY_NET, seed=7, fused_update=True)
+        ag = CARLAgent(tiny_env, cfg, name="fused", log_mode=None,
+                       weights_dir=str(tmp_path_factory.mktemp("w")))
+        p0 = np.asarray(jax.tree_util.tree_leaves(ag.params["policy"])[0]).copy()
+        v0 = np.asarray(jax.tree_util.tree_leaves(ag.params["value"])[0]).copy()
+        d0 = np.asarray(jax.tree_util.tree_leaves(ag.params["dynamics"])[0]).copy()
+        _, history = ag.learn(num_updates=1)
+        m = history[0]
+        for k in ("loss_policy", "loss_value", "entropy", "kl"):
+            assert np.isfinite(m[k]), (k, m[k])
+        assert m["ratio"] == pytest.approx(1.0, abs=0.5)
+        p1 = np.asarray(jax.tree_util.tree_leaves(ag.params["policy"])[0])
+        v1 = np.asarray(jax.tree_util.tree_leaves(ag.params["value"])[0])
+        d1 = np.asarray(jax.tree_util.tree_leaves(ag.params["dynamics"])[0])
+        assert not np.allclose(p0, p1), "fused update must move the policy"
+        assert not np.allclose(v0, v1), "fused update must move the value net"
+        assert not np.allclose(d0, d1), "fused update must move the backbone"
+        # old_policy must hold the pre-update policy copy
+        op = np.asarray(jax.tree_util.tree_leaves(ag.params["old_policy"])[0])
+        assert op.shape == p1.shape
+
+
 class TestRatioClamp:
     """CARLAgentConfig.ratio_clamp: IMPALA-style importance truncation for
     the expert-rollout imitation path (see carla_agent._policy_loss).

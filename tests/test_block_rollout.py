@@ -180,3 +180,52 @@ class TestBlockAgent:
                              initial_seed=0,
                              evaluation_dir=str(tmp_path / "eval"))
         assert len(res["total_reward"]) > 0
+
+
+class TestPostResetMask:
+    def test_post_reset_flags_follow_mid_block_resets(self):
+        """post_reset[s] must be 1 exactly when a done fired at an EARLIER
+        sub-step of the same block (the mismatch window), 0 otherwise."""
+        env_cfg = CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02",), num_routes=8,
+                              max_route_len=256, max_timesteps=6),
+            image_height=48, image_width=32, render_mode="zeros",
+            time_horizon=4, past_obs_freq=4)
+        env = CARLAEnv(env_cfg)
+
+        def p_block(net_in, k, n):
+            B = net_in["state_road"].shape[0]
+            return dict(action=jnp.full((n, B, 2), 0.6),
+                        log_prob=jnp.zeros((n, B, 2)),
+                        value=jnp.zeros((B, 2)))
+
+        states, _ = jax.jit(lambda k: env.reset_batch(k, 4))(
+            jax.random.PRNGKey(12))
+        _, traj, _ = jax.jit(
+            lambda s, k: rollout_mod.run_rollout_blocks(env, p_block, s, k, 16))(
+                states, jax.random.PRNGKey(13))
+
+        done = np.asarray(traj.terminated + traj.truncated) > 0    # (S, B)
+        post = np.asarray(traj.post_reset)                          # (S, B)
+        block = env.config.past_obs_freq
+        S, B = done.shape
+        for b in range(B):
+            for s in range(S):
+                start = (s // block) * block
+                expected = 1.0 if done[start:s, b].any() else 0.0
+                assert post[s, b] == expected, (s, b, post[:, b], done[:, b])
+        # max_timesteps=6 with block=4 guarantees mid-block truncations exist
+        assert post.sum() > 0, "no mid-block reset exercised the flag"
+
+    def test_per_step_rollout_has_zero_flags(self, env):
+        def p_step(net_in, k):
+            B = net_in["state_road"].shape[0]
+            return dict(action=jnp.full((B, 2), 0.5),
+                        log_prob=jnp.zeros((B, 2)), value=jnp.zeros((B, 2)))
+
+        states, _ = jax.jit(lambda k: env.reset_batch(k, 2))(
+            jax.random.PRNGKey(14))
+        _, traj, _ = jax.jit(
+            lambda s, k: rollout_mod.run_rollout(env, p_step, s, k, 8))(
+                states, jax.random.PRNGKey(15))
+        assert (np.asarray(traj.post_reset) == 0).all()
