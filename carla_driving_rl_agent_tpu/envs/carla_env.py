@@ -91,7 +91,17 @@ class CARLAEnvConfig:
     image_height: int = 90
     image_width: int = 120          # per camera; full image is 3x this
     stack_depth: bool = False       # +1 depth channel (core/carla_env.py:49-54,271-288)
+    # OneCamera depth-modulated image: camera *= (1 - depth/255), the
+    # reference's on_sensors_data fusion when a depth sensor is attached
+    # (environment.py:1038-1049).  Exclusive with stack_depth (the reference
+    # never both stacks and modulates).
+    depth_modulate: bool = False
     render_mode: str = "rasterizer"  # 'rasterizer' | 'zeros' (vector-only configs)
+    # pallas mode: worlds rendered per Pallas grid step in the batched
+    # block-push path (render_tiles_grid).  1 = per-world vmap; >1 amortizes
+    # the ~0.5-1 us/grid-step launch overhead.  Batches not divisible by it
+    # fall back to the vmap path (identical numerics either way).
+    pallas_world_block: int = 8
     render_quality: str = "fast"    # 'full' | 'fast' (half-res + reduced K)
     cameras: int = 3                # 3 = ThreeCamera concat; 1 = front only
     time_horizon: int = 4
@@ -223,17 +233,26 @@ class CARLAEnv:
         )
         if cfg.cameras == 1:
             # OneCamera variant: front view only (reference environment.py:837)
+            assert not (cfg.stack_depth and cfg.depth_modulate), \
+                "stack_depth and depth_modulate are exclusive"
             ke, kb, ka, div = rasterizer.QUALITY[cfg.render_quality]
             out = rasterizer.render_view(
                 inputs, jnp.asarray(0.0), height=cfg.image_height // div,
                 width=cfg.image_width // div, k_edges=ke, k_buildings=kb,
-                k_actors=ka, return_depth=cfg.stack_depth)
+                k_actors=ka,
+                return_depth=cfg.stack_depth or cfg.depth_modulate)
             if cfg.stack_depth:
                 # front-camera log-depth as channel 4
                 # (reference core/carla_env.py:271-288)
                 view, depth = out
                 img = jnp.concatenate(
                     [view, rasterizer.depth_to_u8(depth)[..., None]], axis=-1)
+            elif cfg.depth_modulate:
+                # camera *= (1 - depth/255): nearer objects keep their color,
+                # the far field fades to black (environment.py:1038-1049)
+                view, depth = out
+                d = rasterizer.depth_to_u8(depth).astype(jnp.float32)
+                img = view.astype(jnp.float32) * (1.0 - d[..., None] / 255.0)
             else:
                 img = out
             if div > 1:
@@ -424,13 +443,22 @@ class CARLAEnv:
                 info, done)
 
     def push_block_frame(self, state: EnvState, was_reset: jax.Array,
-                         frame_id: jax.Array | int = -1):
+                         frame_id: jax.Array | int = -1, image=None):
         """Render once from the current world and push onto the stacks.
         Worlds flagged `was_reset` (auto-reset at some point since the last
-        push) restart their stacks as [0, ..., 0, frame]."""
+        push) restart their stacks as [0, ..., 0, frame].  `image` is an
+        optional precomputed storage-form frame (the grid-batched Pallas
+        path in push_block_frame_batch renders all worlds in one kernel
+        launch chain and passes the result in)."""
         cfg = self.config
         T = cfg.time_horizon
-        frame = self.frame_obs(state.world)
+        if image is None:
+            frame = self.frame_obs(state.world)
+        else:
+            vec = world_mod.vector_observation(state.world, self.params,
+                                               self.town, self.routes)
+            frame = dict(image=image, road=vec["road"],
+                         vehicle=vec["vehicle"], navigation=vec["navigation"])
         fid = jnp.asarray(frame_id, jnp.int32)
 
         def push(stack, item):
@@ -458,6 +486,30 @@ class CARLAEnv:
                                frame_ids: jax.Array | int = -1):
         if isinstance(frame_ids, int):
             frame_ids = jnp.full((was_reset.shape[0],), frame_ids, jnp.int32)
+        cfg = self.config
+        B = was_reset.shape[0]
+        G = cfg.pallas_world_block
+        if cfg.render_mode == "pallas" and G > 1 and B % G == 0:
+            # grid-batched render: one kernel program over the whole batch,
+            # G worlds per grid step (amortizes per-step launch overhead;
+            # see rasterizer_pallas.render_tiles_grid)
+            from carla_driving_rl_agent_tpu.ops import rasterizer_pallas as RP
+            interpret = jax.default_backend() != "tpu"
+            n_actors = (min(RP.K_ACTORS // 2, self.params.v_max)
+                        + min(RP.K_ACTORS // 2, self.params.p_max))
+            geoms = jax.vmap(
+                lambda w: RP.pack_geometry_banked(
+                    self.town, w, self.weather_params[w.weather_id])
+            )(states.world)
+            planes = RP.render_tiles_grid(geoms, g_block=G,
+                                          interpret=interpret,
+                                          n_actors=n_actors,
+                                          with_depth=cfg.stack_depth)
+            images = jax.vmap(
+                lambda p: RP.tile_to_planes(p, with_depth=cfg.stack_depth)
+            )(planes)
+            return jax.vmap(self.push_block_frame)(states, was_reset,
+                                                   frame_ids, images)
         return jax.vmap(self.push_block_frame)(states, was_reset, frame_ids)
 
     # ---- batched conveniences ----

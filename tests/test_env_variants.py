@@ -43,6 +43,30 @@ class TestOneCamera:
         assert obs["image"].shape == (4, 48, 32, 3)
 
 
+class TestDepthModulate:
+    def test_depth_modulated_image(self):
+        """OneCamera depth fusion (reference environment.py:1038-1049):
+        camera *= (1 - depth/255) — 3 channels (no stacked depth plane),
+        far-field pixels darker than the raw render."""
+        env = make_env(cameras=1, depth_modulate=True, render_mode="rasterizer")
+        env_raw = make_env(cameras=1, render_mode="rasterizer")
+        assert env.config.image_shape == (48, 32, 3)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs["image"].shape == (4, 48, 32, 3)
+        raw_state, raw_obs = env_raw.reset(jax.random.PRNGKey(0))
+        mod = np.asarray(obs["image"][-1], np.float32)
+        raw = np.asarray(raw_obs["image"][-1], np.float32)
+        # modulation can only darken (multiply by <= 1)
+        assert (mod <= raw + 1e-3).all()
+        assert mod.sum() < raw.sum(), "depth modulation must darken the image"
+
+    def test_exclusive_with_stack_depth(self):
+        env = make_env(cameras=1, depth_modulate=True, stack_depth=True,
+                       render_mode="rasterizer")
+        with pytest.raises(AssertionError):
+            env.reset(jax.random.PRNGKey(0))
+
+
 class TestDiscrete:
     def test_bins_roundtrip_and_step(self):
         env = CARLAEnvDiscrete(make_env(), bins=4)

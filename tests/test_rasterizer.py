@@ -137,6 +137,57 @@ class TestBankedPallasPath:
         frac = (diff <= 2).mean()
         assert frac > 0.97, f"banked pack diverged: {1-frac:.4f} pixels differ"
 
+    def test_grid_batched_render_matches_vmap(self):
+        """render_tiles_grid (G worlds per grid step) must be numerically
+        identical to the per-world vmap path — same kernel body, different
+        launch amortization."""
+        import jax
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            CARLAEnv, CARLAEnvConfig)
+        from carla_driving_rl_agent_tpu.envs.world import WorldParams
+        env = CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02",), num_routes=8,
+                              max_route_len=128, max_timesteps=32,
+                              num_vehicles=2, num_pedestrians=2,
+                              v_max=2, p_max=2),
+            image_height=90, image_width=120, render_mode="pallas"))
+        states, _ = env.reset_batch(jax.random.PRNGKey(7), 8)
+        geoms = jax.vmap(
+            lambda w: RP.pack_geometry_banked(
+                env.town, w, env.weather_params[w.weather_id])
+        )(states.world)
+        via_vmap = np.asarray(jax.vmap(
+            lambda g: RP.render_tile(g, interpret=True))(geoms))
+        for G in (2, 4, 8):
+            via_grid = np.asarray(RP.render_tiles_grid(
+                geoms, g_block=G, interpret=True))
+            np.testing.assert_array_equal(via_grid, via_vmap,
+                                          err_msg=f"g_block={G}")
+
+    def test_block_push_uses_grid_render_and_matches(self):
+        """push_block_frame_batch with pallas_world_block=4 must produce the
+        same stacks as the per-world vmap path (pallas_world_block=1)."""
+        import jax
+        from dataclasses import replace
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            CARLAEnv, CARLAEnvConfig)
+        from carla_driving_rl_agent_tpu.envs.world import WorldParams
+        cfg = CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02",), num_routes=8,
+                              max_route_len=128, max_timesteps=32,
+                              num_vehicles=0, num_pedestrians=0,
+                              v_max=1, p_max=1),
+            image_height=90, image_width=120, render_mode="pallas",
+            pallas_world_block=4)
+        env_grid = CARLAEnv(cfg)
+        env_vmap = CARLAEnv(replace(cfg, pallas_world_block=1))
+        states, _ = env_grid.reset_batch(jax.random.PRNGKey(9), 4)
+        wr = jnp.zeros((4,), bool)
+        out_grid = env_grid.push_block_frame_batch(states, wr, 0)
+        out_vmap = env_vmap.push_block_frame_batch(states, wr, 0)
+        np.testing.assert_array_equal(np.asarray(out_grid.image_stack),
+                                      np.asarray(out_vmap.image_stack))
+
     def test_planar_storage_reconstructs_tile_to_image(self):
         """planes_to_image(tile_to_planes(p)) must equal tile_to_image(p)
         exactly — the env's planar half-res frame storage is a pure layout
