@@ -33,6 +33,8 @@ VEHICLE_RADIUS = 1.1      # collision disc radius (two discs per vehicle)
 VEHICLE_HALF_LEN = 1.4    # disc centers at +-half_len along heading
 PED_RADIUS = 0.35
 PED_SPEED_MIN, PED_SPEED_MAX = 0.8, 1.8
+# CARLA walker blueprint recommended run speeds (env_utils.py:270-276)
+PED_RUN_MIN, PED_RUN_MAX = 2.5, 3.5
 
 
 # car-following constants (reference navigation/types_behavior.py:19-28,
@@ -75,6 +77,11 @@ class NPCState(NamedTuple):
     ped_goal: jax.Array    # (P, 2)
     ped_speed: jax.Array   # (P,)
     ped_active: jax.Array  # (P,)
+    # 1.0 where this walker may take goals on the OPPOSITE sidewalk
+    # (reference set_pedestrians_cross_factor, env_utils.py:326;
+    # fraction = WorldParams.ped_crossing).  Non-crossers only ever sample
+    # same-side goals.
+    ped_cross: jax.Array   # (P,)
 
 
 def light_phase_state(sim_time: jax.Array, phase_offset: jax.Array,
@@ -92,11 +99,18 @@ def light_phase_state(sim_time: jax.Array, phase_offset: jax.Array,
 def init_npcs(key: jax.Array, town, town_id: jax.Array,
               num_vehicles: int, num_pedestrians: int,
               ego_xy: jax.Array, v_max: int, p_max: int,
-              min_ego_distance: float = 20.0) -> NPCState:
+              min_ego_distance: float = 20.0,
+              crossing: float = 0.0, running: float = 0.0) -> NPCState:
     """Spawn NPCs on spawn points / sidewalk offsets, masked to the stage's
     traffic preset (reference `env_utils.py:195-336`; spawn specs
-    `core/learning.py:485-487`)."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    `core/learning.py:485-487`).
+
+    `crossing`/`running` mirror spawn_pedestrians' percentage knobs
+    (env_utils.py:233-241, both default 0.0 like every reference stage):
+    a `crossing` fraction of walkers may sample goals on the opposite
+    sidewalk; a `running` fraction moves at run speed (~2.5-3.5 m/s) instead
+    of walk speed."""
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     n_spawn = tgather(town.num_spawn, town_id)
 
     # vehicles: random distinct-ish spawn points, not too close to ego
@@ -127,24 +141,39 @@ def init_npcs(key: jax.Array, town, town_id: jax.Array,
     normal = jnp.stack([-jnp.sin(wyaw), jnp.cos(wyaw)], axis=-1)
     pxy = wxy + side[:, None] * offset[:, None] * normal
     ped_on = (jnp.arange(p_max) < num_pedestrians)
-    goals = _sample_ped_goals(k5, town, town_id, p_max)
+    can_cross = (jax.random.uniform(k6, (p_max,)) < crossing).astype(jnp.float32)
+    goals = _sample_ped_goals(k5, town, town_id, p_max,
+                              ped_xy=pxy, can_cross=can_cross)
+    runs = jax.random.uniform(k7, (p_max,)) < running
+    walk = PED_SPEED_MIN + jax.random.uniform(k5, (p_max,)) * (PED_SPEED_MAX - PED_SPEED_MIN)
+    run = PED_RUN_MIN + jax.random.uniform(k7, (p_max,)) * (PED_RUN_MAX - PED_RUN_MIN)
     ped = dict(
         ped_xy=pxy, ped_goal=goals,
-        ped_speed=PED_SPEED_MIN + jax.random.uniform(k5, (p_max,)) * (PED_SPEED_MAX - PED_SPEED_MIN),
+        ped_speed=jnp.where(runs, run, walk),
         ped_active=ped_on.astype(jnp.float32),
+        ped_cross=can_cross,
     )
     return NPCState(**veh, **ped)
 
 
-def _sample_ped_goals(key, town, town_id, p_max):
+def _sample_ped_goals(key, town, town_id, p_max, ped_xy=None, can_cross=None):
+    """Random sidewalk goal per walker.  With ped_xy/can_cross given,
+    non-crossing walkers (can_cross=0) are pinned to the sidewalk side of
+    the sampled waypoint they are currently on — only cross-factor walkers
+    ever target the opposite side (reference WalkerAIController +
+    set_pedestrians_cross_factor, env_utils.py:326)."""
     k1, k2, k3 = jax.random.split(key, 3)
     n_wp = tgather(town.num_wp, town_id)
     w_idx = jax.random.randint(k1, (p_max,), 0, jnp.maximum(n_wp, 1))
     wxy = tgather(town.wp_xy, town_id, w_idx)
     wyaw = tgather(town.wp_yaw, town_id, w_idx)
-    side = jnp.sign(jax.random.normal(k2, (p_max,)))
-    offset = 4.0 + jax.random.uniform(k3, (p_max,)) * 3.0
     normal = jnp.stack([-jnp.sin(wyaw), jnp.cos(wyaw)], axis=-1)
+    side = jnp.sign(jax.random.normal(k2, (p_max,)))
+    if ped_xy is not None and can_cross is not None:
+        cur_side = jnp.sign(jnp.sum((ped_xy - wxy) * normal, axis=-1))
+        cur_side = jnp.where(cur_side == 0.0, side, cur_side)
+        side = jnp.where(can_cross > 0, side, cur_side)
+    offset = 4.0 + jax.random.uniform(k3, (p_max,)) * 3.0
     return wxy + side[:, None] * offset[:, None] * normal
 
 
@@ -261,7 +290,8 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     dir_goal = to_goal / jnp.maximum(d_goal[:, None], 1e-3)
     ped_xy_new = npc.ped_xy + dir_goal * npc.ped_speed[:, None] * DT
     k_goal, key = jax.random.split(key)
-    new_goals = _sample_ped_goals(k_goal, town, town_id, npc.ped_xy.shape[0])
+    new_goals = _sample_ped_goals(k_goal, town, town_id, npc.ped_xy.shape[0],
+                                  ped_xy=npc.ped_xy, can_cross=npc.ped_cross)
     reached_goal = d_goal < 1.0
     ped_goal = jnp.where(reached_goal[:, None], new_goals, npc.ped_goal)
     pact = npc.ped_active[:, None]
@@ -270,7 +300,8 @@ def step_npcs(key: jax.Array, npc: NPCState, town, town_id: jax.Array,
     return NPCState(veh_xy=veh_xy, veh_yaw=veh_yaw, veh_v=veh_v,
                     veh_wp=new_wp, veh_active=npc.veh_active,
                     ped_xy=ped_xy, ped_goal=ped_goal,
-                    ped_speed=npc.ped_speed, ped_active=npc.ped_active)
+                    ped_speed=npc.ped_speed, ped_active=npc.ped_active,
+                    ped_cross=npc.ped_cross)
 
 
 def collision_check(ego_xy: jax.Array, ego_yaw: jax.Array, npc: NPCState,

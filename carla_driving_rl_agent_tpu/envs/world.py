@@ -109,6 +109,11 @@ class WorldParams:
     num_pedestrians: int = 0
     v_max: int = 1                      # static NPC slot counts
     p_max: int = 1
+    # walker crossing/running fractions (reference spawn_pedestrians,
+    # env_utils.py:233-241 + set_pedestrians_cross_factor :326; every
+    # reference stage leaves both at 0.0 — parity defaults)
+    ped_crossing: float = 0.0
+    ped_running: float = 0.0
     weather_ids: Tuple[int, ...] = (0,)  # indices into weather.WEATHER_NAMES
     collision_penalty: float = 1000.0
     # Safety-shaping knobs (defaults = exact reference parity).  The parity
@@ -231,7 +236,9 @@ def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
 
     npc = traffic.init_npcs(k_npc, town, town_id, params.num_vehicles,
                             params.num_pedestrians, ego_xy,
-                            v_max=params.v_max, p_max=params.p_max)
+                            v_max=params.v_max, p_max=params.p_max,
+                            crossing=params.ped_crossing,
+                            running=params.ped_running)
 
     sim_time = jax.random.uniform(k_time, ()) * traffic.LIGHT_CYCLE
 
