@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 WORLD_AXIS = "world"
+SLICE_AXIS = "slice"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = WORLD_AXIS) -> Mesh:
@@ -30,8 +31,31 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = WORLD_AXIS) -> M
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_multislice_mesh(n_slices: int,
+                         devices_per_slice: Optional[int] = None) -> Mesh:
+    """2-D (slice, world) mesh for multi-slice (DCN) scale-out.
+
+    Worlds are data-parallel over BOTH axes; the axis split exists so that
+    XLA's collective scheduler can keep the hot gradient all-reduce
+    hierarchical: reduce-scatter/all-gather over the fast `world` (ICI)
+    axis inside each slice, then the small cross-slice reduction over the
+    `slice` (DCN) axis — the scaling-book multi-pod recipe.  On a single
+    host the same shape runs over virtual devices, which is how
+    tests/test_parallel.py exercises it."""
+    devices = jax.devices()
+    if devices_per_slice is None:
+        devices_per_slice = len(devices) // n_slices
+    n = n_slices * devices_per_slice
+    assert len(devices) >= n, (len(devices), n_slices, devices_per_slice)
+    arr = np.asarray(devices[:n]).reshape(n_slices, devices_per_slice)
+    return Mesh(arr, (SLICE_AXIS, WORLD_AXIS))
+
+
 def world_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (world) axis of every leaf."""
+    """Shard the leading (world) axis of every leaf over every mesh axis
+    (1-D mesh: the world axis; multi-slice mesh: slice x world)."""
+    if SLICE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((SLICE_AXIS, WORLD_AXIS)))
     return NamedSharding(mesh, P(WORLD_AXIS))
 
 

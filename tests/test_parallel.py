@@ -1,9 +1,54 @@
 """Multi-chip sharding: the full train step jitted over an 8-device mesh
-(virtual CPU devices; the driver's dryrun_multichip does the same)."""
+(virtual CPU devices; the driver's dryrun_multichip does the same), plus
+numerical equivalence of the sharded program vs the single-device one."""
 
 import jax
 import numpy as np
 import pytest
+
+
+def _train_metrics(n_devices, num_updates: int = 2) -> dict:
+    """Build a tiny agent on an n-device mesh (or a prebuilt Mesh), run
+    `num_updates` train iterations from a fixed seed, return the stacked
+    metrics history."""
+    from jax.sharding import Mesh
+    from carla_driving_rl_agent_tpu.agents.carla_agent import (
+        CARLAgent, CARLAgentConfig)
+    from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
+    from carla_driving_rl_agent_tpu.envs.world import WorldParams
+    from carla_driving_rl_agent_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_env_states)
+
+    mesh = n_devices if isinstance(n_devices, Mesh) else make_mesh(n_devices)
+    env = CARLAEnv(CARLAEnvConfig(
+        world=WorldParams(town_names=("Town02",), num_routes=8,
+                          max_route_len=128, max_timesteps=16),
+        image_height=48, image_width=32, render_mode="zeros",
+        time_horizon=4, past_obs_freq=4))
+    net = dict(
+        control_policy=dict(units=16, num_layers=1),
+        control_value=dict(units=16, num_layers=1),
+        dynamics=dict(
+            shufflenet=dict(g=0.5, last_channels=32),
+            rnn=dict(image=16, road=8, vehicle=8, navigation=8),
+            dynamics=dict(units=32),
+            road=dict(units=8, num_layers=1, activation="relu6"),
+            vehicle=dict(units=8, num_layers=1, activation="relu6"),
+            navigation=dict(units=8, num_layers=1, activation="relu6"),
+        ),
+    )
+    agent = CARLAgent(env, CARLAgentConfig(
+        num_envs=8, rollout_steps=8, batch_size=16, network=net, seed=3),
+        mesh=mesh, log_mode=None, name=f"eq-{mesh.devices.size}x{len(mesh.axis_names)}",
+        weights_dir="/tmp/eq-weights")
+    agent.params = replicate(agent.params, mesh)
+    agent.stats = replicate(agent.stats, mesh)
+    agent.opt_state = replicate(agent.opt_state, mesh)
+    env_states, _ = env.reset_batch(jax.random.PRNGKey(5), 8)
+    env_states = shard_env_states(env_states, mesh)
+    _, history = agent.learn(num_updates=num_updates, env_states=env_states)
+    return {k: np.asarray([float(h[k]) for h in history])
+            for k in history[0]}
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
@@ -17,6 +62,39 @@ class TestMeshTraining:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(8)
+
+    def test_numerical_equivalence_vs_single_device(self):
+        """Same seed, same tiny config: two train updates on a 1-device mesh
+        and on 2/4/8-device meshes must produce the same metrics (GSPMD may
+        reassociate reductions, so tolerance is float-level, not bitwise).
+        A sharding bug that changes math but not shapes fails here."""
+        metrics = {n: _train_metrics(n) for n in (1, 2, 4, 8)}
+        base = metrics[1]
+        for n in (2, 4, 8):
+            for k, v in base.items():
+                # rtol/atol: GSPMD reassociates batch reductions, and two
+                # SGD updates amplify the reordering noise (measured: KL off
+                # by 1e-4 absolute on a |0.02| value at 4 devices).  A real
+                # sharding bug (wrong psum axis, missing replication) shows
+                # up at O(10%+) or as shape errors, far above this band.
+                np.testing.assert_allclose(
+                    metrics[n][k], v, rtol=1e-2, atol=5e-4,
+                    err_msg=f"{n}-device mesh diverges from 1-device on "
+                            f"metric {k!r} (update 0 and 1)")
+
+    def test_multislice_mesh_equivalence(self):
+        """2x4 (slice, world) multi-slice mesh: same metrics as 1-device
+        (worlds data-parallel over DCN+ICI; params replicated)."""
+        from carla_driving_rl_agent_tpu.parallel.mesh import (
+            make_multislice_mesh, world_sharding, SLICE_AXIS)
+        mesh = make_multislice_mesh(2, 4)
+        assert mesh.axis_names == (SLICE_AXIS, "world")
+        base = _train_metrics(1)
+        multi = _train_metrics(mesh)
+        for k, v in base.items():
+            np.testing.assert_allclose(
+                multi[k], v, rtol=1e-2, atol=5e-4,
+                err_msg=f"multislice mesh diverges on {k!r}")
 
     def test_sharded_env_states_layout(self):
         from carla_driving_rl_agent_tpu.parallel.mesh import (
