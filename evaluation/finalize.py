@@ -38,16 +38,19 @@ AGENTS = {
     # TPU-new: curriculum retrained with the 'sharp' recipe (main.py --sharp);
     # included only once its sweep exists
     "curriculum-sharp": ("stage-s5-sharp",),
-    # TPU-new: expert-imitation warm start (scripts/imitation_probe.py,
-    # device-resident PPO-on-expert-actions) and its sharp RL fine-tune
-    # (scripts/imitation_finetune.py snapshot-gated pick); first candidate
-    # with a FULL sweep wins
-    "imitation": ("imitation-probe-v4", "imitation-probe-v3", "imitation-final",
-                  "imitation-probe-v2", "imitation-probe", "imitation-rl"),
+    # NOTE: the expert-imitation thread (scripts/imitation_probe.py) ended as
+    # a recorded NEGATIVE result (README "recipe iterations" table): no probe
+    # beat the sharp RL chain at the Town03 gate, so no imitation row is
+    # published; probes remain archived under weights/imitation-*.
     # TPU-new: the safety fine-tune (scripts/safety_finetune.py — off-road
     # penalty x20 + 15 km/h reward speed cap on top of the sharp curriculum
     # endpoint); included only once its sweep exists
     "curriculum-safe": ("safe-s5",),
+    # recipe-consistent control for curriculum-safe: the SAME safety
+    # fine-tune applied to the no-curriculum sharp control
+    # (scripts/safety_finetune.py --source stage-standard-sharp
+    #  --name safe-standard); included only once its sweep exists
+    "standard-safe": ("safe-standard",),
 }
 
 

@@ -18,9 +18,14 @@ knobs (both parity no-ops at their defaults, envs/world.WorldParams):
 Training objective-side it reuses the sharp recipe (decaying entropy,
 gamma=0.999/lambda=0.95) in the stage-s5 setting with regular traffic.
 
+The same recipe applied to the no-curriculum control (--source
+stage-standard-sharp --name safe-standard) produces the recipe-consistent
+"standard" column for the headline table: both columns then share
+sharp training + safety fine-tune and differ only in curriculum.
+
 Usage:
   python scripts/safety_finetune.py [--epochs 14] [--source stage-s5-sharp]
-      [--cap 15] [--divisor 5] [--tiny] [--skip-train]
+      [--name safe-s5] [--cap 15] [--divisor 5] [--tiny] [--skip-train]
 """
 
 import argparse
@@ -32,15 +37,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-NAME = "safe-s5"
+NAME = "safe-s5"   # default; overridden by --name
 
 
 def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
-          over_cap: float = 0.0):
+          over_cap: float = 0.0, name: str = NAME):
     from main import sharp_recipe, EPISODES, TIMESTEPS, BATCH, acquire_run_lock
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
 
-    src, dst = os.path.join("weights", source), os.path.join("weights", NAME)
+    src, dst = os.path.join("weights", source), os.path.join("weights", name)
     if not os.path.isdir(src):
         sys.exit(f"ERROR: {src} missing")
     if os.path.isdir(dst):
@@ -57,7 +62,7 @@ def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
         batch_size=8 if tiny else BATCH,
         num_envs=4 if tiny else 32,
         town="Town03", traffic="no" if tiny else "regular",
-        stage_name=NAME, save_every="end",
+        stage_name=name, save_every="end",
         env_overrides=dict(off_road_penalty_divisor=divisor,
                            reward_speed_cap=cap,
                            speed_over_cap_penalty=over_cap),
@@ -65,7 +70,7 @@ def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
     stage.run2(epochs=1 if tiny else epochs, copy_weights=False)
 
 
-def gate(tiny: bool):
+def gate(tiny: bool, name: str = NAME):
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
 
     trials = 4 if tiny else 50
@@ -74,8 +79,8 @@ def gate(tiny: bool):
     for traffic in ("no",) if tiny else ("no", "dense"):
         learning.evaluate(mode="train", town="Town03", seeds=[42],
                           traffic=traffic, steps=steps, trials=trials,
-                          weights=NAME, num_envs=max(8, trials))
-        f = (f"weights/{NAME}/evaluation/{NAME}-train-{steps}-{trials}-"
+                          weights=name, num_envs=max(8, trials))
+        f = (f"weights/{name}/evaluation/{name}-train-{steps}-{trials}-"
              f"Town03-{traffic}-42.json")
         d = json.load(open(f))
         out[traffic] = {k: round(d[k], 3) for k in
@@ -90,6 +95,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=14)
     ap.add_argument("--source", default="stage-s5-sharp")
+    ap.add_argument("--name", default=NAME)
     ap.add_argument("--cap", type=float, default=15.0)
     ap.add_argument("--divisor", type=float, default=5.0)
     ap.add_argument("--over-cap", type=float, default=0.0,
@@ -104,5 +110,5 @@ if __name__ == "__main__":
         jax.config.update("jax_num_cpu_devices", 8)
     if not args.skip_train:
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
-              over_cap=args.over_cap)
-    print(json.dumps({"gate": gate(args.tiny)}), flush=True)
+              over_cap=args.over_cap, name=args.name)
+    print(json.dumps({"gate": gate(args.tiny, name=args.name)}), flush=True)
