@@ -1,0 +1,117 @@
+"""Train-step throughput A/B over the round-3 levers, one process so the
+persistent compile cache (~/.cache/cdrl_jax) is shared across variants.
+
+Geometry = bench.py train_bench (the driver-measurable counterpart of the
+<1h-curriculum wall-clock target, BASELINE.md): 32 worlds x 512 steps per
+update, batch 64, full-size network, Town03 stage-s1-like world.
+
+Variants (cumulative TPU-first levers on top of the reference-parity
+sequential update, rl/agents/ppo.py:190-226):
+  seq-f32          two sequential phases, each re-running the backbone
+  fused-f32        CARLAgentConfig.fused_update: ONE backbone pass shared
+                   by the policy+value objectives (carla_agent.py)
+  fused-bf16       + compute_dtype=bfloat16 (MXU-native convs/matmuls)
+  fused-blk-f32    + rollout_block: physics in blocks of past_obs_freq,
+                   one policy query per block (3-4x rollout speedup),
+                   post-reset advantage masking on
+  fused-blk-bf16   all three
+
+Prints one JSON line per variant and a final summary line with speedups
+vs seq-f32 and each variant's first-update metric deltas (same seed, same
+env stream: losses must stay O(1e-2) close for the non-block variants;
+block variants change rollout semantics so only finiteness is asserted).
+
+Usage: python scripts/bench_train_ab.py [--tiny] [--variants a,b,...]
+  --tiny: CPU smoke (4 envs, 16 steps, 8 virtual devices) — numerics only.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+VARIANTS = {
+    "seq-f32": dict(),
+    "fused-f32": dict(fused_update=True),
+    "fused-bf16": dict(fused_update=True, compute_dtype="bfloat16"),
+    "fused-blk-f32": dict(fused_update=True, rollout_block=True),
+    "fused-blk-bf16": dict(fused_update=True, rollout_block=True,
+                           compute_dtype="bfloat16"),
+}
+
+
+def _mark(msg):
+    print(f"[ab {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def run_variant(name: str, overrides: dict, tiny: bool) -> dict:
+    from carla_driving_rl_agent_tpu.agents.carla_agent import (
+        CARLAgent, CARLAgentConfig)
+    from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
+    from carla_driving_rl_agent_tpu.envs.world import WorldParams
+
+    num_envs, steps = (4, 16) if tiny else (32, 512)
+    env = CARLAEnv(CARLAEnvConfig(
+        world=WorldParams(town_names=("Town03",), num_routes=64,
+                          max_route_len=512, max_timesteps=512,
+                          num_vehicles=0, num_pedestrians=0, v_max=1, p_max=1),
+        image_height=90, image_width=120, render_mode="pallas",
+        time_horizon=4, past_obs_freq=4))
+    agent = CARLAgent(env, CARLAgentConfig(
+        num_envs=num_envs, rollout_steps=steps,
+        batch_size=8 if tiny else 64, seed=0, **overrides),
+        log_mode=None)
+
+    _mark(f"{name}: compiling/warmup")
+    env_states, hist = agent.learn(num_updates=1)      # compile + warmup
+    first = {k: float(v) for k, v in hist[-1].items()
+             if k in ("loss_policy", "loss_value", "entropy", "reward_mean",
+                      "kl", "ratio")}
+    timed_updates = 1 if tiny else 3
+    t0 = time.perf_counter()
+    env_states, _ = agent.learn(num_updates=timed_updates,
+                                env_states=env_states)
+    dt = time.perf_counter() - t0
+    sps = timed_updates * num_envs * steps / dt
+    out = dict(variant=name, train_env_steps_per_sec=round(sps, 1),
+               first_update=first)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    args = ap.parse_args()
+    if args.tiny:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
+    results = {}
+    for name in args.variants.split(","):
+        results[name] = run_variant(name, VARIANTS[name], args.tiny)
+
+    base = results.get("seq-f32")
+    summary = {}
+    for name, r in results.items():
+        entry = dict(steps_per_sec=r["train_env_steps_per_sec"])
+        if base and name != "seq-f32":
+            entry["speedup"] = round(r["train_env_steps_per_sec"]
+                                     / base["train_env_steps_per_sec"], 3)
+            entry["max_metric_delta"] = round(max(
+                abs(r["first_update"][k] - base["first_update"][k])
+                for k in ("loss_policy", "loss_value", "entropy")), 5)
+        summary[name] = entry
+    print(json.dumps(dict(summary=summary)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
