@@ -171,13 +171,22 @@ def train_bench() -> float:
                           num_vehicles=0, num_pedestrians=0, v_max=1, p_max=1),
         image_height=90, image_width=120, render_mode="pallas",
         time_horizon=4, past_obs_freq=4))
+    # TPU-native training configuration (the driver-measured number):
+    # fused_update shares one backbone pass between the policy and value
+    # objectives (A/B: 1.85x vs the sequential phases, same-seed losses
+    # within 0.023), bfloat16 compute on the MXU, and the default chunked
+    # dispatch (updates_per_dispatch) that runs the updates inside one
+    # jitted scan.  scripts/bench_train_ab.py holds the full matrix.
     agent = CARLAgent(env, CARLAgentConfig(
-        num_envs=num_envs, rollout_steps=steps, batch_size=64, seed=0),
+        num_envs=num_envs, rollout_steps=steps, batch_size=64, seed=0,
+        fused_update=True, compute_dtype="bfloat16"),
         log_mode=None)
 
     _mark("train_bench: agent built, compiling train step")
-    env_states, _ = agent.learn(num_updates=1)        # compile + warmup
-    _mark("train_bench: warmup update done")
+    # warmup with the SAME update count as the timed call (learn() compiles
+    # one chunk program per distinct chunk size)
+    env_states, _ = agent.learn(num_updates=2)        # compile + warmup
+    _mark("train_bench: warmup updates done")
     t0 = _time.perf_counter()
     env_states, history = agent.learn(num_updates=2, env_states=env_states)
     dt = _time.perf_counter() - t0                    # learn() fetches host

@@ -81,3 +81,15 @@ def set_learning_rate(opt_state, learning_rate: float):
     if hasattr(opt_state, "hyperparams"):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(learning_rate, jnp.float32)
     return opt_state
+
+
+def with_learning_rate(opt_state, learning_rate):
+    """Functional (trace-safe) variant of set_learning_rate: returns a new
+    optimizer state with the injected learning rate replaced.  Used inside
+    the chunked train program, where the per-update lr arrives as a traced
+    scalar (agents/carla_agent._build_train_chunk_fn)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state._replace(
+            hyperparams=dict(opt_state.hyperparams,
+                             learning_rate=jnp.asarray(learning_rate, jnp.float32)))
+    return opt_state

@@ -42,6 +42,26 @@ VARIANTS = {
     "fused-blk-f32": dict(fused_update=True, rollout_block=True),
     "fused-blk-bf16": dict(fused_update=True, rollout_block=True,
                            compute_dtype="bfloat16"),
+    # diagnostics (NOT candidate defaults — batch size changes SGD
+    # semantics): same 16384 samples/update in 4x larger minibatches.
+    # If the update is per-minibatch-overhead-bound these scale ~4x;
+    # if activation-bandwidth-bound they stay ~flat.
+    "fused-bf16-b256": dict(fused_update=True, compute_dtype="bfloat16",
+                            batch_size=256),
+    "fused-f32-b256": dict(fused_update=True, batch_size=256),
+    # bisection probes: skip the minibatch scans entirely (rollout + GAE
+    # prologue only) / halve the scan length — locates where the in-program
+    # wall time lives (scripts/bench_train_parts.py measures the same body
+    # at ~4.4 s standalone vs ~14 s inside the real program)
+    "fused-bf16-noopt": dict(fused_update=True, compute_dtype="bfloat16",
+                             optimization_steps=(0, 0)),
+    "fused-bf16-b128": dict(fused_update=True, compute_dtype="bfloat16",
+                            batch_size=128),
+    "fused-blk-bf16-noopt": dict(fused_update=True, compute_dtype="bfloat16",
+                                 rollout_block=True,
+                                 optimization_steps=(0, 0)),
+    "fused-blk-bf16-r2": dict(fused_update=True, compute_dtype="bfloat16",
+                              rollout_block=True),
 }
 
 
@@ -63,17 +83,21 @@ def run_variant(name: str, overrides: dict, tiny: bool) -> dict:
                           num_vehicles=0, num_pedestrians=0, v_max=1, p_max=1),
         image_height=90, image_width=120, render_mode="pallas",
         time_horizon=4, past_obs_freq=4))
-    agent = CARLAgent(env, CARLAgentConfig(
-        num_envs=num_envs, rollout_steps=steps,
-        batch_size=8 if tiny else 64, seed=0, **overrides),
-        log_mode=None)
+    cfg_kwargs = dict(num_envs=num_envs, rollout_steps=steps,
+                      batch_size=8 if tiny else 64, seed=0)
+    cfg_kwargs.update(overrides)
+    agent = CARLAgent(env, CARLAgentConfig(**cfg_kwargs), log_mode=None)
 
     _mark(f"{name}: compiling/warmup")
-    env_states, hist = agent.learn(num_updates=1)      # compile + warmup
-    first = {k: float(v) for k, v in hist[-1].items()
+    timed_updates = 1 if tiny else 3
+    # warmup with the SAME update count as the timed call: learn() batches
+    # updates into one jitted chunk program per distinct size
+    # (updates_per_dispatch), so a different warmup size would leave the
+    # timed size uncompiled
+    env_states, hist = agent.learn(num_updates=timed_updates)
+    first = {k: float(v) for k, v in hist[0].items()
              if k in ("loss_policy", "loss_value", "entropy", "reward_mean",
                       "kl", "ratio")}
-    timed_updates = 1 if tiny else 3
     t0 = time.perf_counter()
     env_states, _ = agent.learn(num_updates=timed_updates,
                                 env_states=env_states)

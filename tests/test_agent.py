@@ -109,6 +109,45 @@ class TestFusedUpdate:
         assert op.shape == p1.shape
 
 
+class TestChunkedDispatch:
+    """CARLAgentConfig.updates_per_dispatch: K updates inside one jitted
+    scan must reproduce the per-update dispatch loop's metrics exactly
+    (same schedules/keys order — learn() precomputes them host-side)."""
+
+    def _history(self, tiny_env, tmp_path_factory, chunk):
+        cfg = CARLAgentConfig(num_envs=4, rollout_steps=8, batch_size=8,
+                              network=TINY_NET, seed=7,
+                              updates_per_dispatch=chunk)
+        ag = CARLAgent(tiny_env, cfg, name=f"chunk{chunk}", log_mode=None,
+                       weights_dir=str(tmp_path_factory.mktemp("w")))
+        _, hist = ag.learn(num_updates=3)
+        return hist, ag
+
+    def test_chunked_matches_per_update(self, tiny_env, tmp_path_factory):
+        h1, ag1 = self._history(tiny_env, tmp_path_factory, 1)
+        h8, ag8 = self._history(tiny_env, tmp_path_factory, 8)
+        assert len(h1) == len(h8) == 3
+        for j, (a, b) in enumerate(zip(h1, h8)):
+            for k in a:
+                assert np.isclose(a[k], b[k], rtol=2e-4, atol=1e-6), \
+                    (j, k, a[k], b[k])
+        # schedule state advanced identically
+        assert ag1.update_step == ag8.update_step == 3
+        assert ag1.policy_lr.step == ag8.policy_lr.step
+
+    def test_tail_updates_use_per_update_path(self, tiny_env,
+                                              tmp_path_factory):
+        """num_updates not divisible by the chunk size: the tail runs as
+        per-update dispatches and still lands in history."""
+        cfg = CARLAgentConfig(num_envs=4, rollout_steps=8, batch_size=8,
+                              network=TINY_NET, seed=7,
+                              updates_per_dispatch=2)
+        ag = CARLAgent(tiny_env, cfg, name="chunktail", log_mode=None,
+                       weights_dir=str(tmp_path_factory.mktemp("w")))
+        _, hist = ag.learn(num_updates=3)
+        assert len(hist) == 3 and ag.update_step == 3
+
+
 class TestRatioClamp:
     """CARLAgentConfig.ratio_clamp: IMPALA-style importance truncation for
     the expert-rollout imitation path (see carla_agent._policy_loss).
