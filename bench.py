@@ -184,13 +184,19 @@ def train_bench() -> float:
 
     _mark("train_bench: agent built, compiling train step")
     # warmup with the SAME update count as the timed call (learn() compiles
-    # one chunk program per distinct chunk size)
-    env_states, _ = agent.learn(num_updates=2)        # compile + warmup
+    # one chunk program per distinct chunk size).  3 timed updates: the
+    # 2-update timing of BENCH_r02 (580.3) still carried ~1 update of
+    # first-dispatch boundary cost; at 3 updates the reading matches the
+    # steady-state A/B (scripts/bench_train_ab.py: 1073-1207 steps/s for
+    # this exact config across processes).
+    n_upd = 3
+    env_states, _ = agent.learn(num_updates=n_upd)    # compile + warmup
     _mark("train_bench: warmup updates done")
     t0 = _time.perf_counter()
-    env_states, history = agent.learn(num_updates=2, env_states=env_states)
+    env_states, history = agent.learn(num_updates=n_upd,
+                                      env_states=env_states)
     dt = _time.perf_counter() - t0                    # learn() fetches host
-    return 2 * num_envs * steps / dt                  # metrics -> synced
+    return n_upd * num_envs * steps / dt              # metrics -> synced
 
 
 if __name__ == "__main__":

@@ -121,6 +121,17 @@ class CARLAgentConfig:
     # by the expert-rollout imitation path, where stored expert actions can
     # sit in the sharpened policy's far tail — see _policy_loss.
     ratio_clamp: float = 0.0
+    # run each optimizer's moment/update math on ONE flattened vector
+    # (optax.flatten) instead of one op per parameter tensor.  Numerically
+    # identical (all registry optimizers are element-wise; pinned by
+    # tests/test_utils_misc.TestFlatOptimizer).  MEASURED ZERO on chip
+    # (scripts/bench_train_ab.py fused-bf16-flat 1207.3 vs -noflat 1207.4
+    # steps/s): XLA already horizontal-fuses the per-leaf adam ops, so the
+    # update phase is backbone-bound, not op-count-bound.  Default off —
+    # flattening changes the opt_state.msgpack layout (old checkpoints'
+    # opt_state silently re-initializes via utils/checkpoint.load_agent's
+    # mismatch fallback) for no speed gain; kept as a probe knob.
+    flat_optimizer: bool = False
     # network spec (reference core/carla_agent.py:61-68)
     network: Dict[str, Any] = field(default_factory=dict)
     compute_dtype: str = "float32"
@@ -165,9 +176,12 @@ class CARLAgent:
         sample = self._sample_net_input()
         self.params, self.stats = self.network.init(k_init, sample)
 
-        self.policy_opt = get_optimizer_by_name(cfg.optimizer, self.policy_lr())
-        self.value_opt = get_optimizer_by_name(cfg.optimizer, self.value_lr())
-        self.dynamics_opt = get_optimizer_by_name(cfg.optimizer, self.dynamics_lr())
+        self.policy_opt = get_optimizer_by_name(cfg.optimizer, self.policy_lr(),
+                                                flat=cfg.flat_optimizer)
+        self.value_opt = get_optimizer_by_name(cfg.optimizer, self.value_lr(),
+                                               flat=cfg.flat_optimizer)
+        self.dynamics_opt = get_optimizer_by_name(cfg.optimizer, self.dynamics_lr(),
+                                                  flat=cfg.flat_optimizer)
         self.opt_state = dict(
             policy=self.policy_opt.init(self.params["policy"]),
             value=self.value_opt.init(self.params["value"]),

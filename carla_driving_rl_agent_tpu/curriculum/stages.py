@@ -249,7 +249,9 @@ def stage_s1(episodes: int, timesteps: int, batch_size: int, save_every=None,
     (reference `core/learning.py:311-339`)."""
     hp = _stage_common(kwargs)
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
-                         rollout_steps=min(timesteps, 128), name=stage_name,
+                         rollout_steps=kwargs.pop("rollout_steps",
+                                                 min(timesteps, 128)),
+                         name=stage_name,
                          seed=seed, aug_intensity=kwargs.pop("aug_intensity", 0.0), **hp, **kwargs)
     env = define_env(town=town, origins=sample_origins(town, amount=10, seed=seed),
                      throttle_as_desired_speed=True, disable_reverse=True,
@@ -266,7 +268,9 @@ def stage_s2(episodes: int, timesteps: int, batch_size: int, save_every=None,
     (reference `core/learning.py:342-369`)."""
     hp = _stage_common(kwargs)
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
-                         rollout_steps=min(timesteps, 128), name=stage_name,
+                         rollout_steps=kwargs.pop("rollout_steps",
+                                                 min(timesteps, 128)),
+                         name=stage_name,
                          seed=seed, load=True, load_full=True,
                          aug_intensity=kwargs.pop("aug_intensity", 0.0), **hp, **kwargs)
     env = define_env(town=town, origins=sample_origins(town, amount=50, seed=seed),
@@ -285,7 +289,9 @@ def stage_s3(episodes: int, timesteps: int, batch_size: int, save_every=None,
     (reference `core/learning.py:372-409`)."""
     hp = _stage_common(kwargs)
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
-                         rollout_steps=min(timesteps, 128), name=stage_name,
+                         rollout_steps=kwargs.pop("rollout_steps",
+                                                 min(timesteps, 128)),
+                         name=stage_name,
                          seed=seed, load=True, load_full=True,
                          aug_intensity=kwargs.pop("aug_intensity", 0.0), **hp, **kwargs)
     env = define_env(town=town, random_weathers=list(TRAIN_WEATHERS),
@@ -304,7 +310,9 @@ def stage_s4(episodes: int, timesteps: int, batch_size: int, towns=None,
     (reference `core/learning.py:412-450`)."""
     hp = _stage_common(kwargs)
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
-                         rollout_steps=min(timesteps, 128), name=stage_name,
+                         rollout_steps=kwargs.pop("rollout_steps",
+                                                 min(timesteps, 128)),
+                         name=stage_name,
                          seed=seed, load=True, load_full=True,
                          aug_intensity=kwargs.pop("aug_intensity", 1.0), **hp, **kwargs)
     env = define_env(town=town, random_towns=towns,
@@ -334,7 +342,9 @@ def stage_s5(episodes: int, timesteps: int, batch_size: int, town: str,
     hp = _stage_common(kwargs)
     aug = kwargs.pop("aug_intensity", 1.0)
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
-                         rollout_steps=min(timesteps, 128), name=stage_name,
+                         rollout_steps=kwargs.pop("rollout_steps",
+                                                 min(timesteps, 128)),
+                         name=stage_name,
                          seed=seed, load=kwargs.pop("load", True), load_full=True,
                          aug_intensity=aug, **hp, **kwargs)
     env = define_env(town=town, random_weathers=weather or list(TRAIN_WEATHERS),

@@ -62,6 +62,34 @@ VARIANTS = {
                                  optimization_steps=(0, 0)),
     "fused-blk-bf16-r2": dict(fused_update=True, compute_dtype="bfloat16",
                               rollout_block=True),
+    # WIDE-GEOMETRY recipe variants (round-3 lever, CLAUDE.md: the 32-world
+    # rollout is op-count-bound — 11 ms/step at 32 worlds vs 2.3 ms/step at
+    # 1024 worlds, so the same rollout program runs many more worlds nearly
+    # free).  All keep 16384 samples/update (same minibatch count, same SGD
+    # sample budget); only the GAE segment length changes (a documented
+    # recipe lever, like sharp — truncation bootstraps from V(s_t), so short
+    # segments remain unbiased up to value-function error).
+    "fused-bf16-w128": dict(fused_update=True, compute_dtype="bfloat16",
+                            num_envs=128, rollout_steps=128),
+    "fused-bf16-w256": dict(fused_update=True, compute_dtype="bfloat16",
+                            num_envs=256, rollout_steps=64),
+    "fused-bf16-w512": dict(fused_update=True, compute_dtype="bfloat16",
+                            num_envs=512, rollout_steps=32),
+    "fused-bf16-w1024": dict(fused_update=True, compute_dtype="bfloat16",
+                             num_envs=1024, rollout_steps=16),
+    # FLAT-OPTIMIZER lever (CARLAgentConfig.flat_optimizer, default True):
+    # optax.flatten collapses the per-leaf adam/clip op storm to vector ops.
+    # -flat/-noflat variants pin both sides regardless of the default.
+    "fused-bf16-flat": dict(fused_update=True, compute_dtype="bfloat16",
+                            flat_optimizer=True),
+    "fused-bf16-noflat": dict(fused_update=True, compute_dtype="bfloat16",
+                              flat_optimizer=False),
+    "fused-bf16-w256-flat": dict(fused_update=True, compute_dtype="bfloat16",
+                                 num_envs=256, rollout_steps=64,
+                                 flat_optimizer=True),
+    "fused-bf16-w512-flat": dict(fused_update=True, compute_dtype="bfloat16",
+                                 num_envs=512, rollout_steps=32,
+                                 flat_optimizer=True),
 }
 
 
@@ -86,7 +114,11 @@ def run_variant(name: str, overrides: dict, tiny: bool) -> dict:
     cfg_kwargs = dict(num_envs=num_envs, rollout_steps=steps,
                       batch_size=8 if tiny else 64, seed=0)
     cfg_kwargs.update(overrides)
+    if tiny:   # wide variants shrink to CPU scale, keeping the w/r ratio
+        cfg_kwargs["num_envs"] = min(cfg_kwargs["num_envs"], 8)
+        cfg_kwargs["rollout_steps"] = min(cfg_kwargs["rollout_steps"], 16)
     agent = CARLAgent(env, CARLAgentConfig(**cfg_kwargs), log_mode=None)
+    num_envs, steps = agent.config.num_envs, agent.config.rollout_steps
 
     _mark(f"{name}: compiling/warmup")
     timed_updates = 1 if tiny else 3

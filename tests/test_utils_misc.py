@@ -171,3 +171,57 @@ class TestSummaryHistogramsImages:
         assert (tmp_path / "imgs.png").exists()
         assert (tmp_path / "hist.png").exists()
         assert (tmp_path / "sched.png").exists()
+
+
+class TestFlatOptimizer:
+    """optax.flatten wrapping (utils/optimizers.get_optimizer_by_name
+    flat=True): vector-space moment math must match the per-leaf path
+    exactly, and the injected learning-rate leaf must stay reachable."""
+
+    def _tree(self):
+        import jax.numpy as jnp
+        return {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) / 7.0,
+                "b": {"w": jnp.ones((4,), jnp.float32) * 0.3,
+                      "v": jnp.full((3, 2), -0.5, jnp.float32)}}
+
+    @pytest.mark.parametrize("name", ["adam", "sgd", "rmsprop", "ftrl"])
+    def test_matches_per_leaf_path(self, name):
+        import jax
+        from carla_driving_rl_agent_tpu.utils.optimizers import (
+            get_optimizer_by_name)
+
+        params = self._tree()
+        grads = jax.tree_util.tree_map(lambda p: 0.1 * p + 0.01, params)
+        outs = {}
+        for flat in (False, True):
+            opt = get_optimizer_by_name(name, 1e-2, flat=flat)
+            state = opt.init(params)
+            p = params
+            for _ in range(3):
+                updates, state = opt.update(grads, state, p)
+                p = jax.tree_util.tree_map(lambda x, u: x + u, p, updates)
+            outs[flat] = p
+        for (ka, va), (kb, vb) in zip(
+                jax.tree_util.tree_leaves_with_path(outs[False]),
+                jax.tree_util.tree_leaves_with_path(outs[True])):
+            np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_learning_rate_injection_survives_flatten(self):
+        import jax
+        import jax.numpy as jnp
+        from carla_driving_rl_agent_tpu.utils.optimizers import (
+            get_optimizer_by_name, set_learning_rate, with_learning_rate)
+
+        params = self._tree()
+        opt = get_optimizer_by_name("adam", 1e-3, flat=True)
+        state = opt.init(params)
+        assert hasattr(state, "hyperparams")
+        set_learning_rate(state, 5e-4)
+        assert float(state.hyperparams["learning_rate"]) == pytest.approx(5e-4)
+        state2 = with_learning_rate(state, 1e-4)
+        assert float(state2.hyperparams["learning_rate"]) == pytest.approx(1e-4)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, state2, params)
+        assert jax.tree_util.tree_structure(updates) == \
+            jax.tree_util.tree_structure(params)
