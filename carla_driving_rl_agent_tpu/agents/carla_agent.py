@@ -478,8 +478,13 @@ class CARLAgent:
                             pvd, stats, feat, batch, hyper, k_s)
                         v_total, v_aux = self._value_objective(
                             pvd, stats, feat, batch)
-                        return p_total + v_total, dict(p_aux, **v_aux,
-                                                       d_stats=d_stats)
+                        # report the TOTAL value objective as loss_value,
+                        # matching the sequential phase's metric semantics
+                        # (value_minibatch logs its full loss incl. the
+                        # speed/similarity aux terms and the 0.25 scale)
+                        aux = dict(p_aux, **v_aux)
+                        aux.update(loss_value=v_total, d_stats=d_stats)
+                        return p_total + v_total, aux
 
                     (loss, aux), grads = jax.value_and_grad(
                         loss_fn, has_aux=True)(

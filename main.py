@@ -88,12 +88,28 @@ def sharp_recipe() -> dict:
         network={"control_policy": {"preact_floor": -3.0}})
 
 
+# The shipped training configuration (round-3 measurement campaign,
+# scripts/bench_train_ab.py): fused_update shares ONE backbone pass between
+# the policy and value objectives (1.85x vs the reference-shaped two-phase
+# update, rl/agents/ppo.py:190-226), bfloat16 runs the backbone on the MXU
+# (+10%), and the default chunked dispatch amortizes the remote-dispatch
+# boundary (+14%) — 565 -> ~1190 trained env-steps/s at the stage geometry.
+# Numerics: fused-vs-sequential agreement is pinned on CPU by
+# tests/test_agent.py (TestFusedUpdateParity); quality is gated on hardware
+# by the fast-chain Town03 A/B (logs/r4-fast-chain.log).  --slow restores
+# the reference-shaped sequential f32 trainer.
+FAST_TRAIN = dict(fused_update=True, compute_dtype="bfloat16")
+
+
 def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
                block: bool = False, weights_dir: str = "weights",
-               sharp: bool = False, aug_intensity: float = None):
+               sharp: bool = False, aug_intensity: float = None,
+               fast: bool = True):
     common = dict(episodes=EPISODES, timesteps=TIMESTEPS, batch_size=BATCH,
                   num_envs=num_envs, save_every="end",
                   rollout_block=block, weights_dir=weights_dir)
+    if fast:
+        common.update(FAST_TRAIN)
     if sharp:
         common.update(sharp_recipe())
         # measured on the v3 chain (round 2): full-strength update-time
@@ -132,7 +148,7 @@ def hand_off(src_stage: str, dst_stage: str, weights_dir: str = "weights"):
 
 def run_curriculum(epochs, num_envs: int = NUM_ENVS,
                    block: bool = False, weights_dir: str = "weights",
-                   sharp: bool = False):
+                   sharp: bool = False, fast: bool = True):
     """epochs: an int (same for every stage) or a per-stage list
     "e1,e2,e3,e4,e5" (the original on-TPU curriculum used 30,16,12,10,10)."""
     if isinstance(epochs, str) and "," in epochs:
@@ -144,9 +160,13 @@ def run_curriculum(epochs, num_envs: int = NUM_ENVS,
         if i > 0:
             hand_off(STAGE_ORDER[i - 1], which, weights_dir=weights_dir)
         print(f"=== stage-{which} ({per_stage[i]} epochs) ===", flush=True)
+        import time as _time
+        t0 = _time.perf_counter()
         stage = make_stage(which, per_stage[i], num_envs, block=block,
-                           weights_dir=weights_dir, sharp=sharp)
+                           weights_dir=weights_dir, sharp=sharp, fast=fast)
         stage.run2(epochs=per_stage[i], copy_weights=False)
+        print(f"=== stage-{which} done in {_time.perf_counter() - t0:.1f} s ===",
+              flush=True)
 
 
 def run_evaluation(weights: str = "stage-s5", steps: int = 512, trials: int = 50):
@@ -164,7 +184,7 @@ def run_evaluation(weights: str = "stage-s5", steps: int = 512, trials: int = 50
 
 
 def run_standard(epochs: int, num_envs: int = NUM_ENVS, sharp: bool = False,
-                 stage_name: str = "stage-standard"):
+                 stage_name: str = "stage-standard", fast: bool = True):
     """The no-curriculum control agent (reference README.md:130's "standard"
     column): PPO trained from scratch directly in the stage-s5 setting, with
     the same total update budget the curriculum spends across s1->s5.
@@ -175,6 +195,8 @@ def run_standard(epochs: int, num_envs: int = NUM_ENVS, sharp: bool = False,
     learns (round-1 finding: the parity entropy bonus freezes the policy
     near-uniform; the standard agent scored below the untrained control)."""
     extra = sharp_recipe() if sharp else {}
+    if fast:
+        extra.update(FAST_TRAIN)
     stage = learning.stage_s5(episodes=EPISODES, timesteps=TIMESTEPS,
                               batch_size=BATCH, num_envs=num_envs,
                               town="Town03", traffic="dense",
@@ -207,6 +229,9 @@ if __name__ == "__main__":
     parser.add_argument("--sharp", action="store_true",
                         help="sharp recipe: decaying entropy + Beta-head "
                              "saturation guard (see sharp_recipe)")
+    parser.add_argument("--slow", action="store_true",
+                        help="reference-shaped sequential f32 trainer "
+                             "(disables the fused bf16 update — FAST_TRAIN)")
     parser.add_argument("--weights-dir", default="weights")
     parser.add_argument("--aug-intensity", type=float, default=None,
                         help="override stage augmentation intensity")
@@ -218,15 +243,18 @@ if __name__ == "__main__":
 
     if args.curriculum:
         run_curriculum(args.epochs, args.num_envs, block=args.block,
-                       weights_dir=args.weights_dir, sharp=args.sharp)
+                       weights_dir=args.weights_dir, sharp=args.sharp,
+                       fast=not args.slow)
     elif args.standard:
         run_standard(int(args.epochs), args.num_envs, sharp=args.sharp,
                      stage_name=("stage-standard-sharp" if args.sharp
-                                 else "stage-standard"))
+                                 else "stage-standard"),
+                     fast=not args.slow)
     elif args.stage:
         make_stage(args.stage, int(args.epochs), args.num_envs, block=args.block,
                    weights_dir=args.weights_dir, sharp=args.sharp,
-                   aug_intensity=args.aug_intensity).run2(epochs=int(args.epochs))
+                   aug_intensity=args.aug_intensity,
+                   fast=not args.slow).run2(epochs=int(args.epochs))
     elif args.evaluate:
         run_evaluation(weights=args.weights, trials=args.trials)
     elif args.record:

@@ -77,7 +77,7 @@ VARIANTS = {
                             num_envs=512, rollout_steps=32),
     "fused-bf16-w1024": dict(fused_update=True, compute_dtype="bfloat16",
                              num_envs=1024, rollout_steps=16),
-    # FLAT-OPTIMIZER lever (CARLAgentConfig.flat_optimizer, default True):
+    # FLAT-OPTIMIZER lever (CARLAgentConfig.flat_optimizer, default False):
     # optax.flatten collapses the per-leaf adam/clip op storm to vector ops.
     # -flat/-noflat variants pin both sides regardless of the default.
     "fused-bf16-flat": dict(fused_update=True, compute_dtype="bfloat16",

@@ -58,17 +58,28 @@ def run_arm(name, num_envs, rollout_steps, updates, tiny):
         network={"control_policy": {"preact_floor": -3.0}}),
         log_mode=None)
 
-    _mark(f"{name}: compiling ({num_envs}w x {rollout_steps}s)")
-    env_states, hist0 = agent.learn(num_updates=min(2, updates))
+    # Warm up the EXACT chunk sizes the timed call will dispatch: learn()
+    # compiles one jitted program per distinct chunk size
+    # (updates_per_dispatch=8 default + one tail chunk), so a 2-update
+    # warmup would leave the timed region paying the 15-25 min size-8/size-4
+    # compiles (advisor round-3 finding).  Round `updates` down to a chunk
+    # multiple and warm up with one full chunk.
+    chunk = max(1, int(agent.config.updates_per_dispatch))
+    updates = max(chunk, (updates // chunk) * chunk)
+    _mark(f"{name}: compiling ({num_envs}w x {rollout_steps}s, "
+          f"warmup chunk={chunk})")
+    env_states, hist0 = agent.learn(num_updates=chunk)
     t0 = time.perf_counter()
     env_states, hist = agent.learn(num_updates=updates,
                                    env_states=env_states)
     dt = time.perf_counter() - t0
     sps = updates * num_envs * rollout_steps / dt
+    # prepend the warmup history so reward_first5 reports the actual first
+    # updates of training, not updates chunk+1..chunk+5
     traj = [{k: round(float(h[k]), 4)
              for k in ("reward_mean", "entropy", "kl", "loss_policy",
                        "loss_value") if k in h}
-            for h in hist]
+            for h in hist0 + hist]
     tail = traj[-5:]
     out = dict(arm=name, num_envs=num_envs, rollout_steps=rollout_steps,
                updates=updates, train_env_steps_per_sec=round(sps, 1),

@@ -41,8 +41,9 @@ NAME = "safe-s5"   # default; overridden by --name
 
 
 def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
-          over_cap: float = 0.0, name: str = NAME):
-    from main import sharp_recipe, EPISODES, TIMESTEPS, BATCH, acquire_run_lock
+          over_cap: float = 0.0, name: str = NAME, fast: bool = True):
+    from main import (sharp_recipe, FAST_TRAIN, EPISODES, TIMESTEPS, BATCH,
+                      acquire_run_lock)
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
 
     src, dst = os.path.join("weights", source), os.path.join("weights", name)
@@ -66,7 +67,7 @@ def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
         env_overrides=dict(off_road_penalty_divisor=divisor,
                            reward_speed_cap=cap,
                            speed_over_cap_penalty=over_cap),
-        **sharp_recipe())
+        **(FAST_TRAIN if fast else {}), **sharp_recipe())
     stage.run2(epochs=1 if tiny else epochs, copy_weights=False)
 
 
@@ -103,6 +104,8 @@ if __name__ == "__main__":
                          "(WorldParams.speed_over_cap_penalty)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--slow", action="store_true",
+                    help="sequential f32 trainer (disables main.FAST_TRAIN)")
     args = ap.parse_args()
     if args.tiny:
         import jax
@@ -110,5 +113,5 @@ if __name__ == "__main__":
         jax.config.update("jax_num_cpu_devices", 8)
     if not args.skip_train:
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
-              over_cap=args.over_cap, name=args.name)
+              over_cap=args.over_cap, name=args.name, fast=not args.slow)
     print(json.dumps({"gate": gate(args.tiny, name=args.name)}), flush=True)
