@@ -31,6 +31,35 @@ STEPS_PER_CALL = 32      # divisible by past_obs_freq=4 (block stepping)
 WARMUP_CALLS = 2
 TIMED_CALLS = 10
 
+# Peak dense-matmul throughput (bf16) and HBM bandwidth per chip, by
+# device_kind — the denominators for the MFU / roofline numbers the TPU
+# build treats as first-class (no reference counterpart; VERDICT r3 item 4).
+PEAK_BY_KIND = {
+    "TPU v4": (275e12, 1228e9),
+    "TPU v5 lite": (197e12, 819e9),     # v5e
+    "TPU v5": (459e12, 2765e9),         # v5p
+    "TPU v6 lite": (918e12, 1640e9),    # v6e
+}
+
+
+def _peaks():
+    kind = jax.devices()[0].device_kind
+    return PEAK_BY_KIND.get(kind, (None, None))
+
+
+def _cost(lowered):
+    """flops + bytes from XLA's (pre-optimization) HLO cost analysis.
+    Unoptimized-HLO 'bytes accessed' overcounts vs the fused executable, so
+    byte-based utilizations are upper-bound estimates; flops are exact for
+    the math actually requested."""
+    try:
+        ca = lowered.cost_analysis() or {}
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] or {}
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
 
 def main():
     from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
@@ -115,16 +144,36 @@ def main():
     total_steps = NUM_WORLDS * STEPS_PER_CALL * TIMED_CALLS
     sps = total_steps / dt
 
+    env_extra = {}   # populated by the roofline pass below; emit() reads
+                     # the dict's contents at call time
+
     def emit(**extra):
         print(json.dumps(dict(metric="env_steps_per_sec_rendered_1024w",
                               value=round(sps, 1), unit="steps/s",
                               vs_baseline=round(sps / 1_000_000.0, 4),
-                              **extra)), flush=True)
+                              **env_extra, **extra)), flush=True)
 
     # the headline metric is already measured — emit it NOW so a wedged
     # worker during the (secondary) train bench can't lose it, then emit an
     # enriched copy of the same line if the train bench completes
     emit()
+
+    # roofline estimate for the env chunk: XLA cost analysis (flops + bytes)
+    # of one chunk x measured chunks/s vs the chip's peaks.  Runs AFTER the
+    # headline emit — the re-lowering is trace-only but must not gate it.
+    peak_fl, peak_bw = _peaks()
+    try:
+        fl, by = _cost(step_fn.lower(states, k, consts))
+        if by and peak_bw:
+            env_extra["env_hbm_util_est"] = round(
+                by * TIMED_CALLS / dt / peak_bw, 4)
+        if fl and peak_fl:
+            env_extra["env_flops_util"] = round(
+                fl * TIMED_CALLS / dt / peak_fl, 5)
+        _mark(f"env cost analysis: {fl / 1e9:.2f} GFLOP, "
+              f"{by / 1e9:.2f} GB per {STEPS_PER_CALL}-step chunk")
+    except Exception as e:
+        _mark(f"env cost analysis failed: {type(e).__name__}: {e}")
 
     # The remote worker can wedge between programs (observed: device ops
     # hang forever at ~0%% CPU); a hung train bench must not block the
@@ -134,7 +183,7 @@ def main():
 
     def run_train_bench():
         try:
-            result["train_env_steps_per_sec"] = round(train_bench(), 1)
+            result.update(train_bench())
         except Exception as e:          # never let the train bench kill the
             result["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -150,11 +199,12 @@ def main():
     emit(**result)
 
 
-def train_bench() -> float:
-    """Trained-env-steps/s for FULL train updates (fused rollout + PPO/aux
-    SGD, full-size network) at the stage-s1 geometry: 32 worlds x 512 steps
-    per update, batch 64 — the driver-measurable counterpart of the
-    curriculum wall-clock target (BASELINE.md)."""
+def train_bench() -> dict:
+    """Trained-env-steps/s + MFU for FULL train updates (fused rollout +
+    PPO/aux SGD, full-size network) at the stage-s1 geometry: 32 worlds x
+    512 steps per update, batch 64 — the driver-measurable counterpart of
+    the curriculum wall-clock target (BASELINE.md).  train_mfu =
+    XLA-counted flops of the timed 3-update chunk / elapsed / chip peak."""
     import time as _time
 
     import jax as _jax
@@ -196,7 +246,33 @@ def train_bench() -> float:
     env_states, history = agent.learn(num_updates=n_upd,
                                       env_states=env_states)
     dt = _time.perf_counter() - t0                    # learn() fetches host
-    return n_upd * num_envs * steps / dt              # metrics -> synced
+    out = {"train_env_steps_per_sec": round(n_upd * num_envs * steps / dt, 1)}
+
+    # MFU of the timed chunk: re-lower the exact 3-update program learn()
+    # dispatched (the jit cache makes this trace-only) and read XLA's flop
+    # count for it
+    peak_fl, peak_bw = _peaks()
+    try:
+        import jax.numpy as jnp
+        c = n_upd
+        keys_arr = jnp.zeros((c, 2), jnp.uint32)
+        hyp = {n: jnp.zeros((c,), jnp.float32)
+               for n in ("clip_ratio", "entropy", "adv_scale")}
+        lrs = {g: jnp.zeros((c,), jnp.float32)
+               for g in ("policy", "value", "dynamics")}
+        fn = agent._train_chunk_fns[c]
+        fl, by = _cost(fn.lower(agent.params, agent.stats, agent.opt_state,
+                                env_states, keys_arr, hyp, lrs,
+                                agent.env.consts))
+        _mark(f"train cost analysis: {fl / 1e12:.3f} TFLOP, "
+              f"{by / 1e9:.2f} GB per {c}-update chunk")
+        if fl and peak_fl:
+            out["train_mfu"] = round(fl / dt / peak_fl, 5)
+        if by and peak_bw:
+            out["train_hbm_util_est"] = round(by / dt / peak_bw, 4)
+    except Exception as e:
+        _mark(f"train cost analysis failed: {type(e).__name__}: {e}")
+    return out
 
 
 if __name__ == "__main__":

@@ -69,7 +69,13 @@ def fmt_row(name: str, s: dict) -> str:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--agents", nargs="+", default=["stage-s5"])
+    # default to the PUBLISHED headline set (README table): the shipping
+    # curriculum-safe agent first, its recipe-consistent no-curriculum
+    # control, the parity-objective curriculum, and the untrained control —
+    # not just the parity agent (advisor/VERDICT r3 item 7)
+    p.add_argument("--agents", nargs="+",
+                   default=["safe-s5", "safe-standard", "stage-s5",
+                            "untrained-control"])
     args = p.parse_args()
 
     header = (f"{'agent':<28} {'coll v':>7} {'simil ^':>7} {'wp_d v':>8} "

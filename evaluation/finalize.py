@@ -35,9 +35,12 @@ AGENTS = {
     "standard": ("stage-standard-sharp", "stage-standard"),
     "standard-parity": ("stage-standard",),
     "untrained": ("untrained-control",),
-    # TPU-new: curriculum retrained with the 'sharp' recipe (main.py --sharp);
-    # included only once its sweep exists
-    "curriculum-sharp": ("stage-s5-sharp",),
+    # NOTE: no "curriculum-sharp" slot — stage-s5-sharp is an INTERMEDIATE
+    # (its s4/s5 stages regressed the Town03 gate vs the frozen baseline;
+    # README "recipe iterations" table) whose safety fine-tune is the
+    # published curriculum-safe row below.  Its partial 9/48 sweep remains
+    # archived under weights/stage-s5-sharp/evaluation; publishing the slot
+    # would double-count the same training lineage (VERDICT r3 item 6).
     # NOTE: the expert-imitation thread (scripts/imitation_probe.py) ended as
     # a recorded NEGATIVE result (README "recipe iterations" table): no probe
     # beat the sharp RL chain at the Town03 gate, so no imitation row is
