@@ -135,6 +135,13 @@ class CARLAgentConfig:
     # network spec (reference core/carla_agent.py:61-68)
     network: Dict[str, Any] = field(default_factory=dict)
     compute_dtype: str = "float32"
+    # dispatch the backbone's stride-1 ShuffleNet units to the fused Pallas
+    # TPU kernel (ops/shuffle_unit_pallas.py): ~10 XLA ops -> 1 pallas_call
+    # per unit, cutting the activation-bandwidth-bound minibatch phase's HBM
+    # round-trips 4x.  Identical param/checkpoint layout; numerics pinned by
+    # tests/test_models.py.  Off the TPU backend the kernel runs in Pallas
+    # interpret mode (slow) — keep False for CPU work.
+    fused_units: bool = False
 
 
 class CARLAgent:
@@ -160,6 +167,7 @@ class CARLAgent:
             control_value=net_spec.get("control_value"),
             dynamics=net_spec.get("dynamics"),
             compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+            fused_units=cfg.fused_units,
         )
 
         # dynamic hyper-parameters (reference rl/agents/ppo.py:42-61,100-106)

@@ -143,10 +143,19 @@ class CARLANetwork:
                  control_value: Optional[dict] = None,
                  dynamics: Optional[dict] = None,
                  exp_scale: float = 6.0,
-                 compute_dtype: jnp.dtype = jnp.float32):
+                 compute_dtype: jnp.dtype = jnp.float32,
+                 fused_units: bool = False):
         self.num_actions = num_actions
         self.exp_scale = exp_scale
-        self.dynamics_model = DynamicsModel(spec=dynamics or {}, dtype=compute_dtype)
+        dyn_spec = dict(dynamics or {})
+        if fused_units:
+            # deep-merge the flag into the shufflenet sub-spec (DynamicsModel
+            # replaces whole sub-dicts on update, so preserve g/last_channels)
+            sn = dict(DEFAULT_DYNAMICS["shufflenet"])
+            sn.update(dyn_spec.get("shufflenet", {}))
+            sn["fused_units"] = True
+            dyn_spec["shufflenet"] = sn
+        self.dynamics_model = DynamicsModel(spec=dyn_spec, dtype=compute_dtype)
         self.policy_model = PolicyHead(num_actions=num_actions, spec=control_policy or {},
                                        dtype=compute_dtype)
         self.value_model = ValueHead(spec=control_value or {}, exp_scale=exp_scale,

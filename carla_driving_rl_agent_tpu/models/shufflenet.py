@@ -51,14 +51,28 @@ class _BNAct(nn.Module):
 
 
 class ShuffleUnit(nn.Module):
-    """One ShuffleNet-V2 unit (reference `core/architectures.py:120-145`)."""
+    """One ShuffleNet-V2 unit (reference `core/architectures.py:120-145`).
+
+    With fused=True a stride-1 unit dispatches its whole op chain to ONE
+    Pallas TPU kernel (ops/shuffle_unit_pallas.py) at apply time: the
+    training minibatch phase is activation-bandwidth-bound across ~10 small
+    XLA ops per unit, and the fused kernel cuts the HBM round-trips to
+    4 reads + 1 write (train) / 1+1 (inference).  Parameter and batch_stats
+    trees are IDENTICAL to the flax path (init always runs the flax path;
+    the kernel consumes the same subtree), so checkpoints are
+    interchangeable; numerics are pinned by tests/test_models.py and
+    scripts/smoke_shuffle_fused.py.
+    """
     num_channels: int
     stride: int
     leak: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        if self.fused and self.stride == 1 and not self.is_initializing():
+            return self._fused_call(x, training)
         conv = lambda f, k, s=1: nn.Conv(f, (k, k), strides=(s, s), padding="SAME",
                                          dtype=self.dtype,
                                          kernel_init=nn.initializers.glorot_uniform())
@@ -91,6 +105,26 @@ class ShuffleUnit(nn.Module):
         out = jnp.concatenate([shortcut, branch], axis=-1)
         return channel_shuffle(out)
 
+    def _fused_call(self, x, training: bool):
+        """Apply-time dispatch to the fused Pallas unit.  Reads the SAME
+        param/batch_stats subtree the flax path created at init; in training
+        mode folds the kernel's batch statistics into the running averages
+        with flax BatchNorm semantics (ra = m*ra + (1-m)*batch)."""
+        from carla_driving_rl_agent_tpu.ops import shuffle_unit_pallas as sup
+        params = self.variables["params"]
+        stats = self.variables["batch_stats"]
+        if not training:
+            return sup.shuffle_unit_infer(x, params, stats, leak=self.leak)
+        out, bstats = sup.shuffle_unit_train(x, params, leak=self.leak)
+        m = sup.BN_MOMENTUM
+        for i in range(3):
+            bn = f"BatchNorm_{i}"
+            self.put_variable("batch_stats", bn, {
+                "mean": m * stats[bn]["mean"] + (1.0 - m) * bstats[bn]["mean"],
+                "var": m * stats[bn]["var"] + (1.0 - m) * bstats[bn]["var"],
+            })
+        return out
+
 
 class ShuffleNetV2(nn.Module):
     """Full backbone over (B, T, H, W, C) -> (B, T, last_channels)."""
@@ -98,6 +132,8 @@ class ShuffleNetV2(nn.Module):
     leak: float = 0.0
     last_channels: int = 1024
     dtype: jnp.dtype = jnp.float32
+    # dispatch stride-1 units to the fused Pallas TPU kernel (see ShuffleUnit)
+    fused_units: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -115,7 +151,8 @@ class ShuffleNetV2(nn.Module):
         for c, blocks in ((c1, 4), (c2, 8), (c3, 4)):
             for i in range(blocks):
                 x = ShuffleUnit(num_channels=c, stride=2 if i == 0 else 1,
-                                leak=self.leak, dtype=self.dtype)(x, training)
+                                leak=self.leak, dtype=self.dtype,
+                                fused=self.fused_units)(x, training)
 
         x = nn.Conv(self.last_channels, (1, 1), dtype=self.dtype,
                     kernel_init=nn.initializers.glorot_uniform())(x)

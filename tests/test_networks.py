@@ -153,3 +153,82 @@ def test_sharp_recipe_spec():
     assert sched() <= 1e-3
     assert recipe["network"]["control_policy"]["preact_floor"] == -3.0
     assert recipe["gamma"] == 0.999 and recipe["lambda_"] == 0.95
+
+
+class TestFusedShuffleUnits:
+    """fused_units=True (Pallas, interpret mode on CPU) vs the flax path.
+
+    Unit-level numerics (fwd/bwd/stats, tight tolerances) are pinned by
+    scripts/smoke_shuffle_fused.py; these tests pin the BACKBONE integration:
+    identical variable trees, inference/training forward agreement, the
+    running-average fold, and gradient flow through the custom_vjp + weight
+    prep un-scatter.  Tiny geometry keeps interpret mode affordable.
+    """
+
+    @staticmethod
+    def _nets():
+        kw = dict(g=0.5, last_channels=64)
+        return (ShuffleNetV2(fused_units=False, **kw),
+                ShuffleNetV2(fused_units=True, **kw))
+
+    @staticmethod
+    def _x():
+        # 48x64 keeps the last stage at 2x2 with 8 rows of batch stats:
+        # per-unit agreement is ~1e-7 (smoke), but degenerate late-stage
+        # geometries (1x1, 2 rows) collapse batch variance and the BN's
+        # rsqrt(var+eps) amplifies float noise ~30x PER UNIT — tolerances
+        # here bound the integration, not the kernel numerics.
+        return jax.random.normal(jax.random.PRNGKey(7), (2, 2, 48, 64, 3),
+                                 jnp.float32)
+
+    def test_tree_identical_and_infer_close(self):
+        ref, fus = self._nets()
+        x = self._x()
+        v = ref.init(jax.random.PRNGKey(0), x, training=False)
+        v2 = fus.init(jax.random.PRNGKey(0), x, training=False)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+        y_ref = ref.apply(v, x, training=False)
+        y_fus = fus.apply(v, x, training=False)
+        np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_train_forward_and_stat_fold(self):
+        ref, fus = self._nets()
+        x = self._x()
+        v = ref.init(jax.random.PRNGKey(0), x, training=False)
+        y_ref, mut_ref = ref.apply(v, x, training=True, mutable=["batch_stats"])
+        y_fus, mut_fus = fus.apply(v, x, training=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref),
+                                   rtol=1e-3, atol=1e-3)
+        leaves_r = jax.tree_util.tree_leaves_with_path(mut_ref["batch_stats"])
+        leaves_f = {jax.tree_util.keystr(k): val for k, val in
+                    jax.tree_util.tree_leaves_with_path(mut_fus["batch_stats"])}
+        assert len(leaves_r) == len(leaves_f)
+        for k, val in leaves_r:
+            np.testing.assert_allclose(np.asarray(leaves_f[jax.tree_util.keystr(k)]),
+                                       np.asarray(val), rtol=1e-3, atol=1e-5,
+                                       err_msg=jax.tree_util.keystr(k))
+
+    def test_train_gradients_close(self):
+        ref, fus = self._nets()
+        x = self._x()
+        v = ref.init(jax.random.PRNGKey(0), x, training=False)
+        params, stats = v["params"], v["batch_stats"]
+
+        def loss(net):
+            def f(p):
+                y, _ = net.apply({"params": p, "batch_stats": stats}, x,
+                                 training=True, mutable=["batch_stats"])
+                return jnp.sum(jnp.tanh(y))
+            return f
+
+        g_ref = jax.grad(loss(ref))(params)
+        g_fus = jax.grad(loss(fus))(params)
+        for (k, gr), gf in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                               jax.tree_util.tree_leaves(g_fus)):
+            scale = float(np.abs(np.asarray(gr)).max())
+            err = float(np.abs(np.asarray(gf) - np.asarray(gr)).max())
+            # 1e-1 floor: BN-absorbed conv biases have a mathematically-zero
+            # gradient (BN is shift-invariant) — both paths emit float noise
+            # there, so a pure relative metric is meaningless on those leaves.
+            assert err / (1e-1 + scale) < 5e-3, (jax.tree_util.keystr(k), err, scale)
