@@ -207,3 +207,45 @@ def normalize(image: jax.Array, eps: float = 1e-7) -> jax.Array:
     lo = jnp.min(image)
     hi = jnp.max(image)
     return (image - lo) / jnp.maximum(hi - lo, eps)
+
+
+def _dct8() -> jax.Array:
+    """Orthonormal 8-point DCT-II matrix."""
+    k = jnp.arange(8, dtype=jnp.float32)
+    d = jnp.cos((2.0 * k[None, :] + 1.0) * k[:, None] * jnp.pi / 16.0)
+    scale = jnp.full((8, 1), 0.5).at[0, 0].set(1.0 / (2.0 * jnp.sqrt(2.0)))
+    return d * scale
+
+
+# JPEG luminance quantization table (ITU-T T.81 Annex K.1)
+_JPEG_Q50 = jnp.asarray([
+    [16, 11, 10, 16, 24, 40, 51, 61], [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56], [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77], [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101], [72, 92, 95, 98, 112, 100, 103, 99],
+], jnp.float32)
+
+
+def jpeg_quality(key: jax.Array, image: jax.Array, min_quality: int = 20,
+                 max_quality: int = 95) -> jax.Array:
+    """JPEG-compression-artifact analog of the reference's `tf_quality`
+    (`rl/augmentations/augmentations.py:40-41`, tf.image.random_jpeg_quality):
+    8x8 block DCT + standard-table quantization at a random quality in
+    [min_quality, max_quality], per channel.  TPU-first: the DCT is two 8x8
+    matmuls per block (MXU), quantization is elementwise — no entropy coding,
+    which contributes no visual artifact anyway."""
+    h, w, c = image.shape
+    q = jax.random.randint(key, (), min_quality, max_quality + 1).astype(jnp.float32)
+    # ITU quality -> table scale: 5000/q below 50, 200-2q above
+    scale = jnp.where(q < 50.0, 5000.0 / q, 200.0 - 2.0 * q) / 100.0
+    table = jnp.clip(jnp.round(_JPEG_Q50 * scale), 1.0, 255.0)
+    ph, pw = (-h) % 8, (-w) % 8
+    x = jnp.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge") * 255.0 - 128.0
+    hb, wb = (h + ph) // 8, (w + pw) // 8
+    blocks = x.reshape(hb, 8, wb, 8, c).transpose(0, 2, 4, 1, 3)  # (hb,wb,c,8,8)
+    d = _dct8()
+    coeff = jnp.einsum("ij,...jk,lk->...il", d, blocks, d)
+    coeff = jnp.round(coeff / table) * table
+    out = jnp.einsum("ji,...jk,kl->...il", d, coeff, d)
+    out = out.transpose(0, 3, 1, 4, 2).reshape(hb * 8, wb * 8, c)
+    return jnp.clip((out + 128.0) / 255.0, 0.0, 1.0)[:h, :w]

@@ -90,6 +90,13 @@ VARIANTS = {
     "fused-bf16-w512-flat": dict(fused_update=True, compute_dtype="bfloat16",
                                  num_envs=512, rollout_steps=32,
                                  flat_optimizer=True),
+    # FUSED-PALLAS-UNIT lever (round-4, CARLAgentConfig.fused_units): the
+    # backbone's 13 stride-1 ShuffleNet units each collapse ~10 XLA ops to
+    # one pallas_call (ops/shuffle_unit_pallas.py) — attacks the
+    # activation-bandwidth-bound minibatch phase (~1-2% MFU measured r3).
+    "fused-bf16-punit": dict(fused_update=True, compute_dtype="bfloat16",
+                             fused_units=True),
+    "fused-f32-punit": dict(fused_update=True, fused_units=True),
 }
 
 

@@ -41,7 +41,8 @@ NAME = "safe-s5"   # default; overridden by --name
 
 
 def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
-          over_cap: float = 0.0, name: str = NAME, fast: bool = True):
+          over_cap: float = 0.0, name: str = NAME, fast: bool = True,
+          traffic: str = "regular"):
     from main import (sharp_recipe, FAST_TRAIN, EPISODES, TIMESTEPS, BATCH,
                       acquire_run_lock)
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
@@ -62,7 +63,7 @@ def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
         timesteps=24 if tiny else TIMESTEPS,
         batch_size=8 if tiny else BATCH,
         num_envs=4 if tiny else 32,
-        town="Town03", traffic="no" if tiny else "regular",
+        town="Town03", traffic="no" if tiny else traffic,
         stage_name=name, save_every="end",
         env_overrides=dict(off_road_penalty_divisor=divisor,
                            reward_speed_cap=cap,
@@ -77,7 +78,7 @@ def gate(tiny: bool, name: str = NAME):
     trials = 4 if tiny else 50
     steps = 24 if tiny else 512
     out = {}
-    for traffic in ("no",) if tiny else ("no", "dense"):
+    for traffic in ("no",) if tiny else ("no", "regular", "dense"):
         learning.evaluate(mode="train", town="Town03", seeds=[42],
                           traffic=traffic, steps=steps, trials=trials,
                           weights=name, num_envs=max(8, trials))
@@ -102,6 +103,11 @@ if __name__ == "__main__":
     ap.add_argument("--over-cap", type=float, default=0.0,
                     help="reward penalty per km/h above --cap "
                          "(WorldParams.speed_over_cap_penalty)")
+    ap.add_argument("--traffic", default="regular",
+                    choices=("no", "regular", "dense"),
+                    help="traffic preset during the fine-tune (VERDICT r3 "
+                         "item 8: a no-traffic-weighted pass targets the one "
+                         "split curriculum-safe still loses)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--slow", action="store_true",
@@ -113,5 +119,6 @@ if __name__ == "__main__":
         jax.config.update("jax_num_cpu_devices", 8)
     if not args.skip_train:
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
-              over_cap=args.over_cap, name=args.name, fast=not args.slow)
+              over_cap=args.over_cap, name=args.name, fast=not args.slow,
+              traffic=args.traffic)
     print(json.dumps({"gate": gate(args.tiny, name=args.name)}), flush=True)

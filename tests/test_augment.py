@@ -76,6 +76,18 @@ class TestAppearance:
         assert out.min() == pytest.approx(0.0, abs=1e-6)
         assert out.max() == pytest.approx(1.0, abs=1e-6)
 
+    def test_jpeg_quality_degrades_monotonically(self, image):
+        from carla_driving_rl_agent_tpu.augment.augmentations import jpeg_quality
+        key = jax.random.PRNGKey(3)
+        hi = jpeg_quality(key, image, min_quality=95, max_quality=95)
+        lo = jpeg_quality(key, image, min_quality=5, max_quality=5)
+        assert hi.shape == image.shape and lo.shape == image.shape
+        e_hi = float(jnp.mean(jnp.abs(hi - image)))
+        e_lo = float(jnp.mean(jnp.abs(lo - image)))
+        # near-lossless at q=95, visible artifacts at q=5, all in range
+        assert e_hi < 0.02 and e_lo > 2.0 * e_hi, (e_hi, e_lo)
+        assert float(jnp.min(lo)) >= 0.0 and float(jnp.max(lo)) <= 1.0
+
     def test_sobel_runs(self, image):
         out = A.sobel(image)
         assert out.shape == image.shape
