@@ -1,0 +1,300 @@
+"""Analytic sensor suite: every sensor the reference can spawn, as pure
+functions of the simulated world.
+
+Reference: `rl/environments/carla/sensors.py:42-74` — `Sensor.create`
+supports collision / lane-invasion / GNSS / IMU / RGB / semantic / depth
+cameras / obstacle / lidar / radar, each wrapping a CARLA server actor with
+callback plumbing.  The consumed set (cameras, depth, collision, IMU-role
+features) is wired into the envs elsewhere; this module completes the
+SUITE so a reference user finds every sensor type, TPU-first:
+
+* No server actors, no callbacks: a sensor is a frozen spec whose `read`
+  is a pure jit/vmap-friendly function of `WorldState` (+ the device-
+  resident `TownDev` bank where geometry is needed).  Detectors return a
+  `triggered` flag instead of firing callbacks — under vmap a callback per
+  world is meaningless; a mask is the batched equivalent.
+* Fixed output shapes: the radar returns one slot per NPC with a `valid`
+  mask (the JAX analog of CARLA's variable-length detection lists), the
+  lidar a fixed ray fan.  No data-dependent shapes anywhere.
+* The lidar casts its whole fan against road-boundary segments, building
+  AABBs and actor discs in one vectorized solve (rays x primitives), all
+  fused elementwise math + min-reductions — no gathers, no loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from carla_driving_rl_agent_tpu.envs.world import TownDev, WorldState, tgather
+from carla_driving_rl_agent_tpu.envs.dynamics import DT
+
+EARTH_RADIUS = 6371000.0        # CARLA geodesic conversion radius (m)
+GRAVITY = 9.81
+
+
+# ---------------------------------------------------------------------------
+# position / inertial
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GnssSensor:
+    """`sensor.other.gnss` (reference sensors.py:50-51): world position as
+    geodetic coordinates around the map's geo-reference (equirectangular,
+    CARLA's own convention: +y drives latitude negative)."""
+    lat_ref: float = 0.0
+    lon_ref: float = 0.0
+
+    def read(self, world: WorldState) -> Dict[str, jax.Array]:
+        scale = 180.0 / (jnp.pi * EARTH_RADIUS)
+        return dict(latitude=self.lat_ref - world.y * scale,
+                    longitude=self.lon_ref + world.x * scale
+                    / jnp.cos(jnp.deg2rad(self.lat_ref)),
+                    altitude=jnp.zeros_like(world.x))
+
+
+@dataclass(frozen=True)
+class IMUSensor:
+    """`sensor.other.imu` (reference sensors.py:53-54): accelerometer,
+    gyroscope and compass from two consecutive world states (the kinematic
+    core integrates at fixed DT, so finite differences ARE the exact body
+    rates of the simulated vehicle)."""
+
+    def read(self, world: WorldState,
+             prev: Optional[WorldState] = None) -> Dict[str, jax.Array]:
+        if prev is None:
+            prev = world
+        dv = (world.v - prev.v) / DT
+        dyaw = _wrap_pi(world.yaw - prev.yaw) / DT
+        accel = jnp.stack([dv, world.v * dyaw, jnp.full_like(dv, GRAVITY)])
+        gyro = jnp.stack([jnp.zeros_like(dyaw), jnp.zeros_like(dyaw), dyaw])
+        # CARLA compass: 0 = geographic north (+y is south in UE frame)
+        compass = jnp.mod(jnp.pi / 2.0 + world.yaw, 2.0 * jnp.pi)
+        return dict(accelerometer=accel, gyroscope=gyro, compass=compass)
+
+
+# ---------------------------------------------------------------------------
+# detectors
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CollisionDetector:
+    """`sensor.other.collision` (reference sensors.py:44-45): fires when the
+    world core detected a contact this step.  `intensity` mirrors the
+    penalty magnitude the contact carries (world.collision_penalty)."""
+
+    def read(self, world: WorldState) -> Dict[str, jax.Array]:
+        pen = world.collision_penalty
+        return dict(triggered=pen > 0.0, intensity=pen)
+
+
+@dataclass(frozen=True)
+class LaneInvasionSensor:
+    """`sensor.other.lane_invasion` (reference sensors.py:47-48): fires when
+    the ego leaves the drivable half-width of the nearest road segment."""
+
+    def read(self, world: WorldState, town: TownDev) -> Dict[str, jax.Array]:
+        from carla_driving_rl_agent_tpu.envs.world import _off_road_distance
+        d = _off_road_distance(town, world.town_id, world.x, world.y)
+        half = tgather(town.road_half, world.town_id)
+        return dict(triggered=d > half, distance=d)
+
+
+@dataclass(frozen=True)
+class ObstacleDetector:
+    """`sensor.other.obstacle` (reference sensors.py:66-67): nearest actor
+    inside a forward cone, CARLA's (distance, other_actor) event as a
+    (distance, triggered) pair."""
+    distance: float = 5.0           # CARLA blueprint default attribute
+    hit_radius: float = 0.5
+    fov_deg: float = 40.0
+
+    def read(self, world: WorldState) -> Dict[str, jax.Array]:
+        rng, brg, _, valid = _actor_polar(world)
+        in_cone = (jnp.abs(brg) < jnp.deg2rad(self.fov_deg) / 2.0) & valid
+        d = jnp.where(in_cone, rng - self.hit_radius, jnp.inf)
+        dmin = jnp.min(d)
+        return dict(triggered=dmin <= self.distance,
+                    distance=jnp.clip(dmin, 0.0, self.distance))
+
+
+@dataclass(frozen=True)
+class RadarSensor:
+    """`sensor.other.radar` (reference sensors.py:69-70): per-NPC detection
+    slots (depth, azimuth, relative radial velocity) with a `valid` mask —
+    the static-shape analog of CARLA's variable detection list."""
+    range: float = 100.0
+    fov_deg: float = 30.0
+
+    def read(self, world: WorldState) -> Dict[str, jax.Array]:
+        rng, brg, rvel, valid = _actor_polar(world)
+        ok = (valid & (rng <= self.range)
+              & (jnp.abs(brg) < jnp.deg2rad(self.fov_deg) / 2.0))
+        return dict(depth=jnp.where(ok, rng, self.range),
+                    azimuth=jnp.where(ok, brg, 0.0),
+                    velocity=jnp.where(ok, rvel, 0.0),
+                    valid=ok)
+
+
+def _wrap_pi(a: jax.Array) -> jax.Array:
+    return jnp.mod(a + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def _actor_polar(world: WorldState):
+    """(range, bearing-from-heading, relative radial velocity, active) for
+    every NPC slot (vehicles then walkers), ego-relative."""
+    npc = world.npc
+    vdir = jnp.stack([jnp.cos(npc.veh_yaw), jnp.sin(npc.veh_yaw)], axis=-1)
+    veh_vel = vdir * npc.veh_v[:, None]
+    pdir = npc.ped_goal - npc.ped_xy
+    pdir = pdir / jnp.maximum(jnp.linalg.norm(pdir, axis=-1, keepdims=True), 1e-6)
+    ped_vel = pdir * npc.ped_speed[:, None]
+
+    xy = jnp.concatenate([npc.veh_xy, npc.ped_xy], axis=0)
+    vel = jnp.concatenate([veh_vel, ped_vel], axis=0)
+    active = jnp.concatenate([npc.veh_active, npc.ped_active]) > 0.5
+
+    rel = xy - jnp.stack([world.x, world.y])
+    rng = jnp.maximum(jnp.linalg.norm(rel, axis=-1), 1e-6)
+    brg = _wrap_pi(jnp.arctan2(rel[:, 1], rel[:, 0]) - world.yaw)
+    ego_vel = world.v * jnp.stack([jnp.cos(world.yaw), jnp.sin(world.yaw)])
+    # radial component of the relative velocity (positive = receding)
+    rvel = jnp.sum((vel - ego_vel) * rel, axis=-1) / rng
+    return rng, brg, rvel, active
+
+
+# ---------------------------------------------------------------------------
+# lidar
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LidarSensor:
+    """`sensor.lidar.ray_cast` (reference sensors.py:68): one planar ray fan
+    cast against the town's road-boundary segments, building AABBs and actor
+    discs.  Returns per-ray `ranges` (max_range where nothing is hit), a
+    `hit` mask and ego-frame `points` — all fixed shapes.  The whole scan is
+    a (rays x primitives) broadcasted solve + min-reduction: VPU-shaped,
+    zero gathers beyond the one town-bank row."""
+    num_rays: int = 180
+    max_range: float = 50.0
+    actor_radius: float = 1.0
+
+    def read(self, world: WorldState, town: TownDev) -> Dict[str, jax.Array]:
+        p = jnp.stack([world.x, world.y])
+        ang = world.yaw + jnp.linspace(0.0, 2.0 * jnp.pi, self.num_rays,
+                                       endpoint=False)
+        d = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)      # (R, 2)
+
+        # road-boundary segments (S, 4): p + t*d == a + s*(b-a)
+        segs = tgather(town.edges_xy, world.town_id)
+        n_seg = tgather(town.num_edges, world.town_id)
+        a, b = segs[:, :2], segs[:, 2:]
+        e = b - a                                                  # (S, 2)
+        ap = a - p
+        denom = d[:, None, 0] * (-e[None, :, 1]) - d[:, None, 1] * (-e[None, :, 0])
+        denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        t = (ap[None, :, 0] * (-e[None, :, 1])
+             - ap[None, :, 1] * (-e[None, :, 0])) / denom          # (R, S)
+        s = (d[:, None, 0] * ap[None, :, 1]
+             - d[:, None, 1] * ap[None, :, 0]) / denom
+        seg_ok = ((t > 0.0) & (s >= 0.0) & (s <= 1.0)
+                  & (jnp.arange(segs.shape[0])[None, :] < n_seg))
+        t_seg = jnp.min(jnp.where(seg_ok, t, jnp.inf), axis=1)
+
+        # building AABBs (B, 5): slab test on (cx, cy, half_w, half_h)
+        bld = tgather(town.buildings, world.town_id)
+        n_bld = tgather(town.num_buildings, world.town_id)
+        lo = bld[:, :2] - bld[:, 2:4]
+        hi = bld[:, :2] + bld[:, 2:4]
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)          # (R, 2)
+        t1 = (lo[None] - p) * inv[:, None]                         # (R, B, 2)
+        t2 = (hi[None] - p) * inv[:, None]
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        bld_ok = ((tmax >= tmin) & (tmax > 0.0)
+                  & (jnp.arange(bld.shape[0])[None, :] < n_bld))
+        t_bld = jnp.min(jnp.where(bld_ok, jnp.maximum(tmin, 0.0), jnp.inf),
+                        axis=1)
+
+        # actor discs: |p + t*d - c|^2 = r^2, nearest positive root
+        npc = world.npc
+        c = jnp.concatenate([npc.veh_xy, npc.ped_xy], axis=0)
+        act = jnp.concatenate([npc.veh_active, npc.ped_active]) > 0.5
+        pc = c - p                                                 # (A, 2)
+        proj = d @ pc.T                                            # (R, A)
+        perp2 = jnp.sum(pc * pc, axis=-1)[None, :] - proj ** 2
+        disc = self.actor_radius ** 2 - perp2
+        root = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_act_hit = proj - root
+        act_ok = (disc > 0.0) & (t_act_hit > 0.0) & act[None, :]
+        t_act = jnp.min(jnp.where(act_ok, t_act_hit, jnp.inf), axis=1)
+
+        ranges = jnp.minimum(jnp.minimum(t_seg, t_bld), t_act)
+        hit = jnp.isfinite(ranges) & (ranges <= self.max_range)
+        ranges = jnp.where(hit, ranges, self.max_range)
+        points = d * ranges[:, None]
+        return dict(ranges=ranges, hit=hit, points=points)
+
+
+# ---------------------------------------------------------------------------
+# cameras
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CameraSensor:
+    """`sensor.camera.{rgb,semantic_segmentation,depth}` (reference
+    sensors.py:56-64), backed by the analytic rasterizer.  `semantic` is the
+    class coloring under the neutral weather row — the renderer computes
+    every pixel's semantic class from road geometry (ops/rasterizer.py), so
+    its unshaded colors ARE the segmentation palette.  `env` is a CARLAEnv
+    (provides geometry banks + weather)."""
+    env: object
+    kind: str = "rgb"               # 'rgb' | 'semantic' | 'depth'
+    cam_yaw_offset: float = 0.0
+    height: int = 90
+    width: int = 120
+
+    def read(self, world: WorldState) -> jax.Array:
+        from carla_driving_rl_agent_tpu.ops import rasterizer
+        inputs = self.env._render_inputs(world)
+        if self.kind == "semantic":
+            inputs = inputs._replace(weather=self.env.weather_params[0])
+        out = rasterizer.render_view(inputs, jnp.asarray(self.cam_yaw_offset),
+                                     height=self.height, width=self.width,
+                                     return_depth=self.kind == "depth")
+        if self.kind == "depth":
+            _, depth = out
+            return rasterizer.depth_to_u8(depth).astype(jnp.uint8)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# factory (reference Sensor.create, sensors.py:42-74)
+# ---------------------------------------------------------------------------
+
+_TYPES = {
+    "sensor.other.collision": CollisionDetector,
+    "sensor.other.lane_invasion": LaneInvasionSensor,
+    "sensor.other.gnss": GnssSensor,
+    "sensor.other.imu": IMUSensor,
+    "sensor.other.obstacle": ObstacleDetector,
+    "sensor.lidar.ray_cast": LidarSensor,
+    "sensor.other.radar": RadarSensor,
+}
+
+
+def create(sensor_type: str, **kwargs):
+    """Mirror of the reference's `Sensor.create` type registry.  Camera
+    types need the env that owns the geometry banks (`env=` kwarg)."""
+    if sensor_type == "sensor.camera.rgb":
+        return CameraSensor(kind="rgb", **kwargs)
+    if sensor_type == "sensor.camera.semantic_segmentation":
+        return CameraSensor(kind="semantic", **kwargs)
+    if sensor_type == "sensor.camera.depth":
+        return CameraSensor(kind="depth", **kwargs)
+    if sensor_type in _TYPES:
+        return _TYPES[sensor_type](**kwargs)
+    raise ValueError(f"String `{sensor_type}` does not denote a valid sensor!")
