@@ -42,7 +42,7 @@ NAME = "safe-s5"   # default; overridden by --name
 
 def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
           over_cap: float = 0.0, name: str = NAME, fast: bool = True,
-          traffic: str = "regular"):
+          traffic: str = "regular", fast_cfg: dict = None):
     from main import (sharp_recipe, FAST_TRAIN, EPISODES, TIMESTEPS, BATCH,
                       acquire_run_lock)
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
@@ -68,7 +68,8 @@ def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
         env_overrides=dict(off_road_penalty_divisor=divisor,
                            reward_speed_cap=cap,
                            speed_over_cap_penalty=over_cap),
-        **(FAST_TRAIN if fast else {}), **sharp_recipe())
+        **((fast_cfg if fast_cfg is not None else FAST_TRAIN) if fast else {}),
+        **sharp_recipe())
     stage.run2(epochs=1 if tiny else epochs, copy_weights=False)
 
 
@@ -112,13 +113,24 @@ if __name__ == "__main__":
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--slow", action="store_true",
                     help="sequential f32 trainer (disables main.FAST_TRAIN)")
+    ap.add_argument("--no-bf16", action="store_true",
+                    help="FAST_TRAIN minus bfloat16 (fused_update only) — "
+                         "quality-regression bisection probe")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="FAST_TRAIN minus fused_update (bfloat16 only)")
     args = ap.parse_args()
     if args.tiny:
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
     if not args.skip_train:
+        from main import FAST_TRAIN
+        fast_cfg = dict(FAST_TRAIN)
+        if args.no_bf16:
+            fast_cfg.pop("compute_dtype", None)
+        if args.no_fused:
+            fast_cfg.pop("fused_update", None)
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
               over_cap=args.over_cap, name=args.name, fast=not args.slow,
-              traffic=args.traffic)
+              traffic=args.traffic, fast_cfg=fast_cfg)
     print(json.dumps({"gate": gate(args.tiny, name=args.name)}), flush=True)
