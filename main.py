@@ -91,14 +91,23 @@ def sharp_recipe() -> dict:
 # The shipped training configuration (round-3 measurement campaign,
 # scripts/bench_train_ab.py): fused_update shares ONE backbone pass between
 # the policy and value objectives (1.85x vs the reference-shaped two-phase
-# update, rl/agents/ppo.py:190-226), bfloat16 runs the backbone on the MXU
-# (+10%), and the default chunked dispatch amortizes the remote-dispatch
-# boundary (+14%) — 565 -> ~1190 trained env-steps/s at the stage geometry.
+# update, rl/agents/ppo.py:190-226), and the default chunked dispatch
+# amortizes the remote-dispatch boundary (+14%) — 565 -> ~1100 trained
+# env-steps/s at the stage geometry.
+# bfloat16 is deliberately NOT part of FAST_TRAIN: the round-4 bisection
+# (scripts/safety_finetune.py --probe-* , logs/r4-ft-probe-*.log) showed the
+# +10% bf16 backbone REGRESSES learning quality — same-source 14-epoch
+# fine-tunes gate at collision 0.94/0.94/0.98 (bf16-only) and 0.90/1.0/1.0
+# (fused+bf16) vs 0.36/0.44/0.54 (fused-only, f32) and 0.26/0.48 (slow f32).
+# The Beta policy's learning signal lives in tiny state-dependent logit
+# shifts (CLAUDE.md "Training dynamics"); bf16's ~3 decimal digits quantize
+# them away. bf16 remains available for inference/bench A/Bs via
+# compute_dtype="bfloat16".
 # Numerics: fused-vs-sequential agreement is pinned on CPU by
 # tests/test_agent.py (TestFusedUpdateParity); quality is gated on hardware
 # by the fast-chain Town03 A/B (logs/r4-fast-chain.log).  --slow restores
 # the reference-shaped sequential f32 trainer.
-FAST_TRAIN = dict(fused_update=True, compute_dtype="bfloat16")
+FAST_TRAIN = dict(fused_update=True)
 
 
 def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
@@ -230,8 +239,8 @@ if __name__ == "__main__":
                         help="sharp recipe: decaying entropy + Beta-head "
                              "saturation guard (see sharp_recipe)")
     parser.add_argument("--slow", action="store_true",
-                        help="reference-shaped sequential f32 trainer "
-                             "(disables the fused bf16 update — FAST_TRAIN)")
+                        help="reference-shaped sequential two-phase trainer "
+                             "(disables the fused update — FAST_TRAIN)")
     parser.add_argument("--weights-dir", default="weights")
     parser.add_argument("--aug-intensity", type=float, default=None,
                         help="override stage augmentation intensity")

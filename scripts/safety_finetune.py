@@ -113,11 +113,18 @@ if __name__ == "__main__":
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--slow", action="store_true",
                     help="sequential f32 trainer (disables main.FAST_TRAIN)")
+    # Round-4 bisection flags (kept for reproducibility).  FAST_TRAIN is now
+    # fused-only/f32 — the bisection found bf16 training REGRESSES quality
+    # (gate 0.94/0.94/0.98 bf16-only vs 0.36/0.44/0.54 fused-f32 vs
+    # 0.26/0.48 slow; logs/r4-ft-probe-*.log) — so --no-bf16 became a no-op
+    # and --bf16 re-adds the rejected lever for future probes.
     ap.add_argument("--no-bf16", action="store_true",
-                    help="FAST_TRAIN minus bfloat16 (fused_update only) — "
-                         "quality-regression bisection probe")
+                    help="(no-op since round 4: FAST_TRAIN is already f32)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="add compute_dtype=bfloat16 to the trainer — "
+                         "RECORDED QUALITY REGRESSION, probe use only")
     ap.add_argument("--no-fused", action="store_true",
-                    help="FAST_TRAIN minus fused_update (bfloat16 only)")
+                    help="FAST_TRAIN minus fused_update")
     args = ap.parse_args()
     if args.tiny:
         import jax
@@ -128,6 +135,8 @@ if __name__ == "__main__":
         fast_cfg = dict(FAST_TRAIN)
         if args.no_bf16:
             fast_cfg.pop("compute_dtype", None)
+        if args.bf16:
+            fast_cfg["compute_dtype"] = "bfloat16"
         if args.no_fused:
             fast_cfg.pop("fused_update", None)
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,

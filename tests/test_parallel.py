@@ -7,11 +7,27 @@ import numpy as np
 import pytest
 
 
+_METRICS_CACHE = {}
+
+
 def _train_metrics(n_devices, num_updates: int = 2,
                    render_mode: str = "zeros") -> dict:
     """Build a tiny agent on an n-device mesh (or a prebuilt Mesh), run
     `num_updates` train iterations from a fixed seed, return the stacked
-    metrics history."""
+    metrics history.  Plain-int mesh sizes are memoized module-wide: the
+    1-device baseline is shared between the 1/2/4/8 equivalence test and
+    the multislice test (one fewer full compile on the 1-vCPU suite host)."""
+    if isinstance(n_devices, int):
+        key = (n_devices, num_updates, render_mode)
+        if key not in _METRICS_CACHE:
+            _METRICS_CACHE[key] = _train_metrics_impl(
+                n_devices, num_updates, render_mode)
+        return _METRICS_CACHE[key]
+    return _train_metrics_impl(n_devices, num_updates, render_mode)
+
+
+def _train_metrics_impl(n_devices, num_updates: int = 2,
+                        render_mode: str = "zeros") -> dict:
     from jax.sharding import Mesh
     from carla_driving_rl_agent_tpu.agents.carla_agent import (
         CARLAgent, CARLAgentConfig)
