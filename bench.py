@@ -221,18 +221,21 @@ def train_bench() -> dict:
                           num_vehicles=0, num_pedestrians=0, v_max=1, p_max=1),
         image_height=90, image_width=120, render_mode="pallas",
         time_horizon=4, past_obs_freq=4))
-    # The SHIPPED training configuration (main.FAST_TRAIN — the number a
-    # user of `main.py --curriculum` actually gets): fused_update shares one
-    # backbone pass between the policy and value objectives (A/B: 1.85x vs
-    # the sequential phases, same-seed losses within 0.023) plus the default
-    # chunked dispatch (updates_per_dispatch) that runs the updates inside
-    # one jitted scan.  float32 on purpose: the round-4 bisection found
+    # The SHIPPED training configuration, imported from main.FAST_TRAIN so
+    # the bench can never advertise a config the trainer doesn't ship
+    # (VERDICT r3 item 2).  Currently fused_update (one backbone pass for
+    # policy+value, A/B 1.85x, same-seed losses within 0.023) + the default
+    # chunked dispatch; float32 on purpose — the round-4 bisection found
     # bf16 TRAINING regresses policy quality (logs/r4-ft-probe-*.log), so
     # the bf16 +10% is bench-only and deliberately not measured here.
     # scripts/bench_train_ab.py holds the full matrix.
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from main import FAST_TRAIN
     agent = CARLAgent(env, CARLAgentConfig(
         num_envs=num_envs, rollout_steps=steps, batch_size=64, seed=0,
-        fused_update=True),
+        **FAST_TRAIN),
         log_mode=None)
 
     _mark("train_bench: agent built, compiling train step")

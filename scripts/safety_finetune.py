@@ -125,6 +125,10 @@ if __name__ == "__main__":
                          "RECORDED QUALITY REGRESSION, probe use only")
     ap.add_argument("--no-fused", action="store_true",
                     help="FAST_TRAIN minus fused_update")
+    ap.add_argument("--punit", action="store_true",
+                    help="add fused_units=True (fused Pallas ShuffleUnit "
+                         "backbone) — round-4 quality-gate probe for the "
+                         "kernel before it can enter FAST_TRAIN")
     args = ap.parse_args()
     if args.tiny:
         import jax
@@ -139,6 +143,8 @@ if __name__ == "__main__":
             fast_cfg["compute_dtype"] = "bfloat16"
         if args.no_fused:
             fast_cfg.pop("fused_update", None)
+        if args.punit:
+            fast_cfg["fused_units"] = True
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
               over_cap=args.over_cap, name=args.name, fast=not args.slow,
               traffic=args.traffic, fast_cfg=fast_cfg)
