@@ -223,12 +223,11 @@ def train_bench() -> dict:
         time_horizon=4, past_obs_freq=4))
     # The SHIPPED training configuration, imported from main.FAST_TRAIN so
     # the bench can never advertise a config the trainer doesn't ship
-    # (VERDICT r3 item 2).  Currently fused_update (one backbone pass for
-    # policy+value, A/B 1.85x, same-seed losses within 0.023) + the default
-    # chunked dispatch; float32 on purpose — the round-4 bisection found
-    # bf16 TRAINING regresses policy quality (logs/r4-ft-probe-*.log), so
-    # the bf16 +10% is bench-only and deliberately not measured here.
-    # scripts/bench_train_ab.py holds the full matrix.
+    # (VERDICT r3 item 2).  Round-4 hardware gates rejected both bf16
+    # (quantizes the Beta-logit learning signal) and fused_update (full
+    # 78-epoch chains produce untrainable policies) — see main.FAST_TRAIN;
+    # the measured-faster-but-rejected configs live in
+    # scripts/bench_train_ab.py's matrix, deliberately not reported here.
     import os as _os
     import sys as _sys
     _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))

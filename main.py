@@ -88,26 +88,35 @@ def sharp_recipe() -> dict:
         network={"control_policy": {"preact_floor": -3.0}})
 
 
-# The shipped training configuration (round-3 measurement campaign,
-# scripts/bench_train_ab.py): fused_update shares ONE backbone pass between
-# the policy and value objectives (1.85x vs the reference-shaped two-phase
-# update, rl/agents/ppo.py:190-226), and the default chunked dispatch
-# amortizes the remote-dispatch boundary (+14%) — 565 -> ~1100 trained
-# env-steps/s at the stage geometry.
-# bfloat16 is deliberately NOT part of FAST_TRAIN: the round-4 bisection
-# (scripts/safety_finetune.py --probe-* , logs/r4-ft-probe-*.log) showed the
-# +10% bf16 backbone REGRESSES learning quality — same-source 14-epoch
-# fine-tunes gate at collision 0.94/0.94/0.98 (bf16-only) and 0.90/1.0/1.0
-# (fused+bf16) vs 0.36/0.44/0.54 (fused-only, f32) and 0.26/0.48 (slow f32).
-# The Beta policy's learning signal lives in tiny state-dependent logit
-# shifts (CLAUDE.md "Training dynamics"); bf16's ~3 decimal digits quantize
-# them away. bf16 remains available for inference/bench A/Bs via
-# compute_dtype="bfloat16".
-# Numerics: fused-vs-sequential agreement is pinned on CPU by
-# tests/test_agent.py (TestFusedUpdateParity); quality is gated on hardware
-# by the fast-chain Town03 A/B (logs/r4-fast-chain.log).  --slow restores
-# the reference-shaped sequential f32 trainer.
-FAST_TRAIN = dict(fused_update=True)
+# The shipped training configuration.  Round-4 hardware gates REJECTED both
+# candidate speed levers from the round-3 measurement campaign:
+#
+# * bfloat16 (+10%): the bisection (logs/r4-ft-probe-*.log) showed bf16
+#   training quantizes away the Beta policy's tiny logit shifts — 14-epoch
+#   fine-tunes gate at collision 0.94/0.94/0.98 (bf16) vs 0.26/0.48 (f32).
+# * fused_update (1.85x in-update): SHORT fine-tunes gate near-clean
+#   (0.36/0.44/0.54 vs 0.26/0.48 sequential), but BOTH full 78-epoch
+#   curriculum chains trained with it produced untrainable policies —
+#   Town03 gate after the safety fine-tune 0.90/1.0/1.0 (fused+bf16,
+#   logs/r4-fast-*-bf16.log) and 0.94/1.0/1.0 (fused f32,
+#   logs/r4-fast-curriculum.log + r4-fast-finetune.log), with the
+#   ratio~1.0 / kl~0 frozen-policy curve signature from update 0
+#   (logs/stage-s1/20260820-081227).  Mechanism: the sequential algorithm
+#   gives the SHARED dynamics backbone two separately-clipped Adam steps
+#   per minibatch (policy-phase grad, then value-phase grad); the fused
+#   path folds them into ONE step on the summed gradient, so the larger
+#   value gradient dominates the backbone's direction and the policy head's
+#   learning signal starves — mild at 14 epochs, fatal compounded over 78.
+#
+# Both remain available as config/bench levers (fused_update=True,
+# compute_dtype="bfloat16"; scripts/bench_train_ab.py holds the matrix).
+# The active semantics-preserving speed lever is the fused Pallas
+# ShuffleUnit backbone (CARLAgentConfig.fused_units), which accelerates the
+# backbone passes of BOTH sequential phases without changing the update
+# algorithm — it enters FAST_TRAIN once its hardware quality gate is clean.
+# The default chunked dispatch (updates_per_dispatch=8, numerics identical,
+# tested) stays on.
+FAST_TRAIN = dict()
 
 
 def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,

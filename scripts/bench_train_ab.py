@@ -97,6 +97,10 @@ VARIANTS = {
     "fused-bf16-punit": dict(fused_update=True, compute_dtype="bfloat16",
                              fused_units=True),
     "fused-f32-punit": dict(fused_update=True, fused_units=True),
+    # the SHIPPING-relevant punit arm: sequential f32 (the round-4 chain
+    # gate rejected fused_update for full curricula — see main.FAST_TRAIN)
+    # with only the backbone units swapped for the Pallas kernel.
+    "seq-f32-punit": dict(fused_units=True),
 }
 
 

@@ -1,11 +1,12 @@
 #!/bin/bash
-# Round-4 fast-trainer gate A/B (VERDICT item 1): the full sharp curriculum
-# (s1..s5, epochs 30,16,12,10,10 — the same budget the shipped safe-s5 chain
-# trained with) plus the 14-epoch safety fine-tune, trained end-to-end with
-# FAST_TRAIN (fused_update + bfloat16 + chunked dispatch), into weights-fast/.
-# Quality gate: safety_finetune's Town03 no/dense gate vs the recorded
-# slow-config safe-s5 gate (collision 0.26 / 0.48).  Also yields the measured
-# end-to-end curriculum wall-clock for README (BASELINE.md <1h target).
+# FULL-CHAIN quality gate for the current main.FAST_TRAIN config: the full
+# sharp curriculum (s1..s5, epochs 30,16,12,10,10 — the same budget the
+# shipped safe-s5 chain trained with) plus the 14-epoch safety fine-tune,
+# into weights-fast/.  Gate: safety_finetune's Town03 no/dense collision vs
+# the recorded sequential-config safe-s5 gate (0.26 / 0.48).  Round-4
+# history: this gate REJECTED fused+bf16 (0.90/1.0/1.0) and then fused-f32
+# (0.94/1.0/1.0) — any future FAST_TRAIN candidate must pass HERE, not just
+# a 14-epoch fine-tune probe (those read near-clean for fused-f32).
 set -e
 cd "$(dirname "$0")/.."
 mkdir -p logs

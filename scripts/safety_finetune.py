@@ -113,18 +113,23 @@ if __name__ == "__main__":
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--slow", action="store_true",
                     help="sequential f32 trainer (disables main.FAST_TRAIN)")
-    # Round-4 bisection flags (kept for reproducibility).  FAST_TRAIN is now
-    # fused-only/f32 — the bisection found bf16 training REGRESSES quality
-    # (gate 0.94/0.94/0.98 bf16-only vs 0.36/0.44/0.54 fused-f32 vs
-    # 0.26/0.48 slow; logs/r4-ft-probe-*.log) — so --no-bf16 became a no-op
-    # and --bf16 re-adds the rejected lever for future probes.
+    # Round-4 probe flags (kept for reproducibility).  FAST_TRAIN ended the
+    # round EMPTY (sequential f32): bf16 regresses fine-tune gates outright
+    # (0.94/0.94/0.98 vs 0.26/0.48 slow, logs/r4-ft-probe-*.log) and
+    # fused_update regresses FULL curricula (both fast chains gated
+    # ~0.9-1.0 after fine-tune; see main.FAST_TRAIN).  --bf16/--fused-style
+    # flags re-add the rejected levers for future probes.
     ap.add_argument("--no-bf16", action="store_true",
                     help="(no-op since round 4: FAST_TRAIN is already f32)")
     ap.add_argument("--bf16", action="store_true",
                     help="add compute_dtype=bfloat16 to the trainer — "
                          "RECORDED QUALITY REGRESSION, probe use only")
     ap.add_argument("--no-fused", action="store_true",
-                    help="FAST_TRAIN minus fused_update")
+                    help="FAST_TRAIN minus fused_update (no-op since the "
+                         "round-4 chain gate removed it from FAST_TRAIN)")
+    ap.add_argument("--fused", action="store_true",
+                    help="add fused_update=True — RECORDED FULL-CHAIN "
+                         "QUALITY REGRESSION, probe use only")
     ap.add_argument("--punit", action="store_true",
                     help="add fused_units=True (fused Pallas ShuffleUnit "
                          "backbone) — round-4 quality-gate probe for the "
@@ -143,6 +148,8 @@ if __name__ == "__main__":
             fast_cfg["compute_dtype"] = "bfloat16"
         if args.no_fused:
             fast_cfg.pop("fused_update", None)
+        if args.fused:
+            fast_cfg["fused_update"] = True
         if args.punit:
             fast_cfg["fused_units"] = True
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
