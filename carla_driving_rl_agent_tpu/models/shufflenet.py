@@ -72,7 +72,13 @@ class ShuffleUnit(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         if self.fused and self.stride == 1 and not self.is_initializing():
-            return self._fused_call(x, training)
+            from carla_driving_rl_agent_tpu.ops import shuffle_unit_pallas as sup
+            # big early-stage maps exceed the backward kernel's VMEM
+            # liveness budget at even one sample per tile (hardware OOM,
+            # round-4) — those units stay on the flax path until the
+            # halo-split kernel exists
+            if sup.fits_vmem(x.shape[1], x.shape[2], x.shape[3]):
+                return self._fused_call(x, training)
         conv = lambda f, k, s=1: nn.Conv(f, (k, k), strides=(s, s), padding="SAME",
                                          dtype=self.dtype,
                                          kernel_init=nn.initializers.glorot_uniform())

@@ -73,18 +73,42 @@ def _plan(n: int, h: int, w: int, c: int) -> Tuple[int, int, int, int]:
     """Choose (tile_n, n_tiles, cp, hp) for a unit call.  Tiles must
     (a) align to whole samples so depthwise rolls never cross a sample
     boundary unmasked, and (b) have a row count that is a multiple of 16
-    sublanes.  Within that, grow the tile toward a ~4 MB VMEM activation
-    footprint so the MXU sees long matmuls."""
+    sublanes.  Within that, grow the tile under a VMEM liveness budget.
+
+    Budget math (hardware-validated: the first real-TPU backward at the
+    old element-counted "4 MB" plan OOM'd scoped VMEM 18.43M > 16M): the
+    BACKWARD body is the liveness peak — roughly 20 concurrently-live
+    (rows_t, cp) f32 intermediates (forward recompute + BN backwards +
+    grads) after the 9 depthwise masks were switched to recompute-in-loop.
+    Keep rows_t * cp * 4 * LIVE_EST within half the 16 MB scoped-VMEM
+    limit, leaving the rest for operands/outputs/scratch and Mosaic's own
+    double-buffering."""
     hw = h * w
     cp, hp = _pad128(c), _pad128(c // 2)
     t_min = 16 // math.gcd(hw, 16)
-    bytes_per_row = 8 * cp + 6 * hp
+    LIVE_EST = 20
+    budget = 8 * 1024 * 1024
+    bytes_per_row = cp * 4 * LIVE_EST
     tile_n = t_min
-    while (tile_n * 2 * hw * bytes_per_row <= 4 * 1024 * 1024
+    while (tile_n * 2 * hw * bytes_per_row <= budget
            and tile_n * 2 <= max(n, t_min)):
         tile_n *= 2
     n_tiles = (n + tile_n - 1) // tile_n
     return tile_n, n_tiles, cp, hp
+
+
+def fits_vmem(h: int, w: int, c: int) -> bool:
+    """Can a stride-1 unit at feature-map (h, w, c) run the fused kernels
+    within scoped VMEM?  The minimum legal tile is t_min whole samples
+    (depthwise rolls must not cross sample boundaries + sublane alignment);
+    early backbone stages (e.g. the (23, 90) stage-2 maps of the 90x360
+    CARLA input, hw=2070) exceed the backward liveness budget even at one
+    sample per tile and need a halo-split kernel redesign — until then the
+    caller falls back to the flax unit for those stages."""
+    hw = h * w
+    cp = _pad128(c)
+    t_min = 16 // math.gcd(hw, 16)
+    return t_min * hw * cp * 4 * 20 <= 8 * 1024 * 1024
 
 
 def _shuffle_dest(c: int, concat_idx):
@@ -388,14 +412,17 @@ def _make_bwd_kernel(n_tiles, h, w, r_true, leak, cd):
         g_z2 = g2_ref[0:1, :] * fin["r2"] * (
             g_b2n - (t1 + xh2 * t2) * inv_m) * valid
         # depthwise transpose: g_b1[r] = sum_k w_k * (g_z2*mask_k)[r - off_k]
+        # NOTE: masks are RECOMPUTED in the weight-grad loop below instead of
+        # kept in a list — 9 saved (rows_t, cp) arrays were ~a third of the
+        # backward body's VMEM liveness (hardware scoped-VMEM OOM, round-4)
+        def tap_mask(dh, dwi):
+            return (((hh + dh) >= 0) & ((hh + dh) < h) &
+                    ((ww + dwi) >= 0) & ((ww + dwi) < w)).astype(f32)
+
         g_b1 = jnp.zeros_like(g_z2)
-        masks = []
         for k, (dh, dwi) in enumerate(_TAPS):
             off = dh * w + dwi
-            m = (((hh + dh) >= 0) & ((hh + dh) < h) &
-                 ((ww + dwi) >= 0) & ((ww + dwi) < w)).astype(f32)
-            masks.append(m)
-            gm = g_z2 * m
+            gm = g_z2 * tap_mask(dh, dwi)
             g_b1 = g_b1 + dw_ref[k:k + 1, :] * (_roll(gm, off) if off else gm)
         g_pre1 = g_b1 * _act_grad(pre1, leak) * valid
 
@@ -429,7 +456,7 @@ def _make_bwd_kernel(n_tiles, h, w, r_true, leak, cd):
             sbias_c[0:1, :] += jnp.sum(g_u, axis=0, keepdims=True)
             for k, (dh, dwi) in enumerate(_TAPS):
                 off = dh * w + dwi
-                shifted = (_roll(b1, -off) if off else b1) * masks[k]
+                shifted = (_roll(b1, -off) if off else b1) * tap_mask(dh, dwi)
                 sddw[k:k + 1, :] += jnp.sum(shifted * g_z2, axis=0,
                                             keepdims=True)
 
