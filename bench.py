@@ -90,27 +90,31 @@ def main():
         rendered frame push — the obs stack only refreshes every
         past_obs_freq steps, so this is the true per-env-step cost."""
         with env.bind(consts):
-            def body(carry, block_idx):
+            # ONE RNG call for the whole chunk's random driving actions
+            # (throttle biased forward): per-step split+uniform was ~3-4 ms
+            # of the 6.4 ms phys_rng baseline (round-4 bench_parts) — pure
+            # harness overhead, not env cost; a real rollout's actions come
+            # from the policy
+            key, k_a = jax.random.split(key)
+            a_all = jax.random.uniform(
+                k_a, (STEPS_PER_CALL // block, block, NUM_WORLDS, 2),
+                minval=jnp.asarray([-0.2, -0.5]),
+                maxval=jnp.asarray([0.8, 0.5]))
+
+            def body(carry, a_block):
                 states, key = carry
 
-                def sub(inner, _):
-                    states, key, was_reset = inner
-                    key, k = jax.random.split(key)
-                    # random driving actions (throttle biased forward)
-                    a = jax.random.uniform(k, (NUM_WORLDS, 2),
-                                           minval=jnp.asarray([-0.2, -0.5]),
-                                           maxval=jnp.asarray([0.8, 0.5]))
+                def sub(inner, a):
+                    states, was_reset = inner
                     states, reward, term, trunc, info, did_reset = \
                         env.step_physics_batch(states, a)
-                    return (states, key, was_reset | did_reset), reward[0]
+                    return (states, was_reset | did_reset), reward[0]
 
-                (states, key, was_reset), rewards = jax.lax.scan(
-                    sub, (states, key, jnp.zeros((NUM_WORLDS,), bool)),
-                    None, length=block)
+                (states, was_reset), rewards = jax.lax.scan(
+                    sub, (states, jnp.zeros((NUM_WORLDS,), bool)), a_block)
                 states = env.push_block_frame_batch(states, was_reset)
                 return (states, key), rewards.sum()
-            (states, key), rewards = jax.lax.scan(body, (states, key),
-                                                  jnp.arange(STEPS_PER_CALL // block))
+            (states, key), rewards = jax.lax.scan(body, (states, key), a_all)
             # scalar probe depending on BOTH rewards and rendered stacks, so
             # fetching it forces the full computation (remote-attached
             # backends have unreliable block_until_ready semantics)

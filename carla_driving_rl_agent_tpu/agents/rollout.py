@@ -68,12 +68,23 @@ def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
     """
     time_h = env.config.time_horizon
 
-    # snapshot the image stacks and relabel their slots -T..-1 so stored
-    # stack indices are rollout-local
-    init_stack = jnp.swapaxes(env_states.image_stack, 0, 1)  # (T, B, C, SH, SW)
+    # snapshot the image stacks (normalized to the ordered masked view —
+    # the env's circular buffer may hold stale bytes behind sentinel ids)
+    # and relabel their slots -T..-1 so stored stack indices are
+    # rollout-local.  Writing the ordered view back into env_states resets
+    # the circular slot to T-1, which also restores the sentinel->zero
+    # byte invariant the relabeled ids would otherwise erase.
+    from carla_driving_rl_agent_tpu.envs.carla_env import (
+        newest_frame, ordered_image_stack)
+    ordered = ordered_image_stack(env_states.image_stack,
+                                  env_states.stack_ids,
+                                  env_states.stack_slot)
+    init_stack = jnp.swapaxes(ordered, 0, 1)                 # (T, B, C, SH, SW)
     batch = init_stack.shape[1]
     start_ids = jnp.tile(jnp.arange(-time_h, 0, dtype=jnp.int32)[None], (batch, 1))
-    env_states = env_states._replace(stack_ids=start_ids)
+    env_states = env_states._replace(
+        image_stack=ordered, stack_ids=start_ids,
+        stack_slot=jnp.full((batch,), time_h - 1, jnp.int32))
 
     def step_fn(carry, step_idx):
         states, key = carry
@@ -111,7 +122,7 @@ def run_rollout(env: CARLAEnv, predict_fn: Callable, env_states: EnvState,
         record = dict(
             road=obs["road"], vehicle=obs["vehicle"], navigation=obs["navigation"],
             stack_ids=states.stack_ids,
-            frames=new_states.image_stack[:, -1],
+            frames=newest_frame(new_states.image_stack, new_states.stack_slot),
             action=action01, log_prob=pred["log_prob"], value=pred["value"],
             reward=reward, terminated=term.astype(jnp.float32),
             truncated=trunc.astype(jnp.float32),
@@ -163,10 +174,19 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
     num_blocks = num_steps // block
     time_h = env.config.time_horizon
 
-    init_stack = jnp.swapaxes(env_states.image_stack, 0, 1)  # (T, B, C, SH, SW)
+    from carla_driving_rl_agent_tpu.envs.carla_env import (
+        newest_frame, ordered_image_stack)
+    # normalize the circular stacks to the ordered masked view (see
+    # run_rollout) before relabeling ids to the rollout-local -T..-1 range
+    ordered = ordered_image_stack(env_states.image_stack,
+                                  env_states.stack_ids,
+                                  env_states.stack_slot)
+    init_stack = jnp.swapaxes(ordered, 0, 1)                 # (T, B, C, SH, SW)
     batch = init_stack.shape[1]
     start_ids = jnp.tile(jnp.arange(-time_h, 0, dtype=jnp.int32)[None], (batch, 1))
-    env_states = env_states._replace(stack_ids=start_ids)
+    env_states = env_states._replace(
+        image_stack=ordered, stack_ids=start_ids,
+        stack_slot=jnp.full((batch,), time_h - 1, jnp.int32))
 
     def block_fn(carry, block_idx):
         states, key = carry
@@ -205,7 +225,7 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
         record = dict(road=rep(obs["road"]), vehicle=rep(obs["vehicle"]),
                       navigation=rep(obs["navigation"]),
                       stack_ids=rep(obs_ids),
-                      frames=states.image_stack[:, -1],
+                      frames=newest_frame(states.image_stack, states.stack_slot),
                       value=rep(pred["value"]), **sub)
         return (states, key), record
 

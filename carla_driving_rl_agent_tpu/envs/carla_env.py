@@ -70,18 +70,50 @@ def planes_to_image(planar: jax.Array, ry: int, rx: int) -> jax.Array:
     return x
 
 
+def ordered_image_stack(stack: jax.Array, stack_ids: jax.Array,
+                        stack_slot: jax.Array) -> jax.Array:
+    """Materialize the oldest->newest view of a CIRCULAR image stack,
+    zero-masking slots whose id is the zero-frame sentinel (< -T).
+
+    Accepts a single world ((T, C, SH, SW) stack, (T,) ids, () slot) or any
+    batched leading dims ((..., T, C, SH, SW) / (..., T) / (...)).  The
+    result is byte-identical to the pre-round-4 rolled storage (stale bytes
+    behind sentinel ids were true zeros there)."""
+    T = stack.shape[-4]
+    order = (stack_slot[..., None] + 1 + jnp.arange(T)) % T        # (..., T)
+    ordered = jnp.take_along_axis(
+        stack, order[..., None, None, None], axis=-4)
+    valid = (stack_ids >= -T).astype(stack.dtype)
+    return ordered * valid[..., None, None, None]
+
+
+def newest_frame(stack: jax.Array, stack_slot: jax.Array) -> jax.Array:
+    """(..., T, C, SH, SW) circular stack -> (..., C, SH, SW) newest frame
+    (always a valid frame; no masking needed)."""
+    idx = stack_slot[..., None, None, None, None]
+    return jnp.take_along_axis(stack, idx, axis=-4).squeeze(-4)
+
+
 class EnvState(NamedTuple):
     world: WorldState
-    image_stack: jax.Array      # (T, C, SH, SW) uint8 PLANAR storage
+    image_stack: jax.Array      # (T, C, SH, SW) uint8 PLANAR storage (circular)
     # Frames are stored channel-first at the renderer's native (half)
     # resolution; CARLAEnv.observe() upsamples + interleaves to the
-    # (T, H, 3W, C) observation contract.  Rolling the 4x smaller uint8
-    # planes through the stack is the hot path (8 pushes per 32-step
-    # chunk at 1024 worlds); see config.storage_shape.
-    road_stack: jax.Array       # (T, 9) float32
+    # (T, H, 3W, C) observation contract.  The image buffer is CIRCULAR:
+    # `stack_slot` is the physical slot of the NEWEST frame, ordered
+    # position k (oldest..newest, matching stack_ids/road_stack order)
+    # lives at physical slot (stack_slot + 1 + k) % T.  The block push
+    # writes ONE slot instead of rolling T-1 (the roll was 11 ms of the
+    # 75 ms bench chunk — round-4 bench_parts; layout probes showed the
+    # u8 move itself, not tile padding, is the cost).  Slots whose
+    # stack_ids entry is the zero-frame sentinel (< -T) may hold STALE
+    # bytes — every bulk reader masks by id (observe, rollout init
+    # normalization); the newest slot is always valid.
+    road_stack: jax.Array       # (T, 9) float32 (ordered oldest..newest)
     vehicle_stack: jax.Array    # (T, 4)
     nav_stack: jax.Array        # (T, N)
     stack_ids: jax.Array        # (T,) int32 rollout-local frame ids (-1 = pre-rollout)
+    stack_slot: jax.Array       # () int32 physical slot of the newest frame
     last_action: jax.Array      # (num_actions,) most recent raw action in [0,1]
 
 
@@ -325,6 +357,7 @@ class CARLAEnv:
         return EnvState(world=world, image_stack=img_stack, road_stack=road_stack,
                         vehicle_stack=veh_stack, nav_stack=nav_stack,
                         stack_ids=stack_ids,
+                        stack_slot=jnp.asarray(T - 1, jnp.int32),
                         last_action=jnp.full((cfg.num_actions,), 0.5))
 
     def reset(self, key: jax.Array, episode=0, frame_id=-1) -> Tuple[EnvState, dict]:
@@ -345,12 +378,14 @@ class CARLAEnv:
         environment.py:1092-1093); both are current-frame vectors derived
         from the world state, no extra stacks.
 
-        The image stack is stored as half-res uint8 planes (EnvState);
-        reconstruction (upsample + channel interleave) happens HERE, once
-        per observation use, exactly matching the former push-time
-        tile_to_image epilogue (uint8 quantization before the repeat)."""
+        The image stack is stored as half-res uint8 planes in a CIRCULAR
+        buffer (EnvState); reconstruction (order + sentinel mask + upsample
+        + channel interleave) happens HERE, once per observation use,
+        byte-identical to the former push-time rolled storage."""
         ry, rx = self.config.upsample
-        img = planes_to_image(state.image_stack, ry, rx)   # (T, H, 3W, C)
+        ordered = ordered_image_stack(state.image_stack, state.stack_ids,
+                                      state.stack_slot)
+        img = planes_to_image(ordered, ry, rx)             # (T, H, 3W, C)
         obs = dict(image=img.astype(jnp.float32) / 255.0,
                    road=state.road_stack, vehicle=state.vehicle_stack,
                    navigation=state.nav_stack)
@@ -396,7 +431,13 @@ class CARLAEnv:
             rolled = jnp.concatenate([stack[1:], item[None]], axis=0)
             return jnp.where(push, rolled, stack)
 
-        img_stack = push_stack(state.image_stack, frame["image"])
+        # per-step path: operate on the ORDERED view and emit an ordered
+        # (slot = T-1) state — this path is eval/play-scale, not the hot
+        # block push, so the ordering gather is cheap and keeps a single
+        # invariant for mixed-provenance states
+        img_ordered = ordered_image_stack(state.image_stack, state.stack_ids,
+                                          state.stack_slot)
+        img_stack = push_stack(img_ordered, frame["image"])
         road_stack = push_stack(state.road_stack, frame["road"])
         veh_stack = push_stack(state.vehicle_stack, frame["vehicle"])
         nav_stack = push_stack(state.nav_stack, frame["navigation"])
@@ -408,6 +449,8 @@ class CARLAEnv:
         stepped = EnvState(world=merged_world, image_stack=img_stack,
                            road_stack=road_stack, vehicle_stack=veh_stack,
                            nav_stack=nav_stack, stack_ids=stack_ids,
+                           stack_slot=jnp.asarray(cfg.time_horizon - 1,
+                                                  jnp.int32),
                            last_action=state.last_action)
         fresh_state = self._fresh_state(merged_world, frame, frame_id)
         new_state = jax.tree_util.tree_map(
@@ -444,12 +487,11 @@ class CARLAEnv:
 
     def push_block_frame(self, state: EnvState, was_reset: jax.Array,
                          frame_id: jax.Array | int = -1, image=None):
-        """Render once from the current world and push onto the stacks.
-        Worlds flagged `was_reset` (auto-reset at some point since the last
-        push) restart their stacks as [0, ..., 0, frame].  `image` is an
-        optional precomputed storage-form frame (the grid-batched Pallas
-        path in push_block_frame_batch renders all worlds in one kernel
-        launch chain and passes the result in)."""
+        """Single-world block push (ordered-output compatibility path —
+        the batched hot path is push_block_frame_batch's circular write).
+        Renders once (unless `image` is given) and pushes onto the ordered
+        view of the stacks; worlds flagged `was_reset` restart as
+        [0, ..., 0, frame]."""
         cfg = self.config
         T = cfg.time_horizon
         if image is None:
@@ -470,20 +512,54 @@ class CARLAEnv:
             shifted = stack[1:] * keep
             return jnp.concatenate([shifted, item[None]], axis=0)
 
+        img_ordered = ordered_image_stack(state.image_stack, state.stack_ids,
+                                          state.stack_slot)
         ids_rolled = jnp.concatenate([state.stack_ids[1:], fid[None]])
         ids_fresh = jnp.full((T,), -(T + 1), jnp.int32).at[-1].set(fid)
         return state._replace(
-            image_stack=push(state.image_stack, frame["image"]),
+            image_stack=push(img_ordered, frame["image"]),
             road_stack=push(state.road_stack, frame["road"]),
             vehicle_stack=push(state.vehicle_stack, frame["vehicle"]),
             nav_stack=push(state.nav_stack, frame["navigation"]),
-            stack_ids=jnp.where(was_reset, ids_fresh, ids_rolled))
+            stack_ids=jnp.where(was_reset, ids_fresh, ids_rolled),
+            stack_slot=jnp.asarray(T - 1, jnp.int32))
 
     def step_physics_batch(self, states: EnvState, actions: jax.Array):
         return jax.vmap(self.step_physics)(states, actions)
 
+    def _push_block_vectors(self, state: EnvState, was_reset: jax.Array,
+                            frame_id: jax.Array, road, vehicle, navigation):
+        """Per-world vector/ids part of the block push (vmapped): the
+        vector stacks stay in ordered rolled form (tiny), the image slot
+        write happens batch-level in push_block_frame_batch."""
+        T = self.config.time_horizon
+        fid = jnp.asarray(frame_id, jnp.int32)
+
+        def push(stack, item):
+            keep = (~was_reset).astype(stack.dtype)
+            shifted = stack[1:] * keep
+            return jnp.concatenate([shifted, item[None]], axis=0)
+
+        ids_rolled = jnp.concatenate([state.stack_ids[1:], fid[None]])
+        ids_fresh = jnp.full((T,), -(T + 1), jnp.int32).at[-1].set(fid)
+        return state._replace(
+            road_stack=push(state.road_stack, road),
+            vehicle_stack=push(state.vehicle_stack, vehicle),
+            nav_stack=push(state.nav_stack, navigation),
+            stack_ids=jnp.where(was_reset, ids_fresh, ids_rolled))
+
     def push_block_frame_batch(self, states: EnvState, was_reset: jax.Array,
                                frame_ids: jax.Array | int = -1):
+        """Batched block push, circular image write: renders all worlds
+        (grid-batched Pallas kernel when available), pushes the vector
+        stacks/ids per world, then writes the new frames into ONE physical
+        slot of the circular image buffer via a statically-indexed
+        lax.switch (slot uniformity across worlds is an invariant of the
+        block path: rollouts normalize to slot T-1 at entry and every push
+        advances all worlds together).  Replaces the former per-world roll
+        of T-1 uint8 slots (~11 ms per 8-push chunk at 1024 worlds —
+        round-4 bench_parts).  Reset worlds keep stale bytes behind
+        sentinel ids; readers mask (see EnvState)."""
         if isinstance(frame_ids, int):
             frame_ids = jnp.full((was_reset.shape[0],), frame_ids, jnp.int32)
         cfg = self.config
@@ -508,9 +584,27 @@ class CARLAEnv:
             images = jax.vmap(
                 lambda p: RP.tile_to_planes(p, with_depth=cfg.stack_depth)
             )(planes)
-            return jax.vmap(self.push_block_frame)(states, was_reset,
-                                                   frame_ids, images)
-        return jax.vmap(self.push_block_frame)(states, was_reset, frame_ids)
+            vec = jax.vmap(
+                lambda w: world_mod.vector_observation(
+                    w, self.params, self.town, self.routes))(states.world)
+        else:
+            frames = jax.vmap(self.frame_obs)(states.world)
+            images = frames["image"]
+            vec = {k: frames[k] for k in ("road", "vehicle", "navigation")}
+
+        states = jax.vmap(self._push_block_vectors)(
+            states, was_reset, frame_ids,
+            vec["road"], vec["vehicle"], vec["navigation"])
+
+        T = cfg.time_horizon
+        slot_new = ((states.stack_slot[0] + 1) % T).astype(jnp.int32)
+        img = jax.lax.switch(
+            slot_new,
+            [(lambda st, k=k: st.at[:, k].set(images)) for k in range(T)],
+            states.image_stack)
+        return states._replace(
+            image_stack=img,
+            stack_slot=jnp.full_like(states.stack_slot, slot_new))
 
     # ---- batched conveniences ----
     def reset_batch(self, key: jax.Array, num_envs: int):

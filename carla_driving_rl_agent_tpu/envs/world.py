@@ -299,8 +299,16 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
     x, y, yaw, v = dynamics.step_bicycle(state.x, state.y, state.yaw, state.v, control)
 
     # --- NPCs tick in lock-step (replaces TrafficManager autopilot fleet) ---
-    npc = traffic.step_npcs(k_npc, state.npc, town, state.town_id,
-                            state.sim_time, jnp.stack([x, y]), v, yaw)
+    # Static short-circuit at zero configured NPCs: the no-traffic configs
+    # (bench, stage-s1) otherwise pay ~4 ms/32-step-chunk of pure op-count
+    # overhead stepping permanently-inactive slots (round-4 bench_parts
+    # phys_npc split).  Inactive slots never move or collide, so skipping
+    # the tick is exact; the state arrays keep their static shapes.
+    if params.num_vehicles == 0 and params.num_pedestrians == 0:
+        npc = state.npc
+    else:
+        npc = traffic.step_npcs(k_npc, state.npc, town, state.town_id,
+                                state.sim_time, jnp.stack([x, y]), v, yaw)
 
     # --- route following update (navigation/route.py:33-53) ---
     # Gather only a short forward WINDOW of the route, not the whole (L, 2)

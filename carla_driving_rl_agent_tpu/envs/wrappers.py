@@ -132,9 +132,10 @@ class CARLAPlayWrapper:
             total += float(reward)
             if render is not None:
                 from carla_driving_rl_agent_tpu.envs.carla_env import (
-                    planes_to_image)
-                frame = planes_to_image(state.image_stack[-1],
-                                        *self.env.config.upsample)
+                    newest_frame, planes_to_image)
+                frame = planes_to_image(
+                    newest_frame(state.image_stack, state.stack_slot),
+                    *self.env.config.upsample)
                 stop = render(np.asarray(jax.device_get(frame)),
                               jax.device_get(info))
                 if stop:
@@ -384,9 +385,10 @@ def record_episodes(agent, name: str, timesteps: int, trials: int,
             state, obs, reward, term, trunc, info = step(
                 state, convert_action(pred["action"][0]))
             from carla_driving_rl_agent_tpu.envs.carla_env import (
-                planes_to_image)
+                newest_frame, planes_to_image)
             frames.append(np.asarray(planes_to_image(
-                state.image_stack[-1], *env.config.upsample)))
+                newest_frame(state.image_stack, state.stack_slot),
+                *env.config.upsample)))
             total += float(reward)
             if (bool(term) or bool(trunc)) and t > 32:
                 break

@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--worlds", type=int, default=NUM_WORLDS)
     ap.add_argument("--scaling", action="store_true",
                     help="also run phys_full/rend-all at 2048 and 4096 worlds")
+    ap.add_argument("--only", default="",
+                    help="substring filter on variant names (saves TPU time "
+                         "when probing one subsystem)")
     args = ap.parse_args()
     n = args.worlds
 
@@ -186,6 +189,49 @@ def main():
                 body, (states, key), jnp.arange(n_push, dtype=jnp.uint8))
             return states, key, jnp.sum(probes)
 
+    def rend_roll_prod(states, key, consts):
+        # the SHIPPED roll form (carla_env.push_block_frame): multiply-mask
+        # the shifted slots, concat the new frame
+        with env.bind(consts):
+            frame0 = jnp.zeros((n,) + env.config.storage_shape, jnp.uint8)
+            no_reset = jnp.zeros((n,), bool)
+            def body(carry, i):
+                states, key = carry
+                def push1(state, frame, was_reset):
+                    keep = (~was_reset).astype(state.image_stack.dtype)
+                    shifted = state.image_stack[1:] * keep
+                    new = jnp.concatenate([shifted, frame[None]], axis=0)
+                    return state._replace(image_stack=new)
+                states = jax.vmap(push1)(states, frame0 + i, no_reset)
+                return (states, key), states.image_stack[0, -1, 0, 0].astype(jnp.float32)
+            (states, key), probes = jax.lax.scan(
+                body, (states, key), jnp.arange(n_push, dtype=jnp.uint8))
+            return states, key, jnp.sum(probes)
+
+    def rend_roll_flat(states, key, consts):
+        # layout probe: the same multiply-mask roll on a (T, C*SH*SW) FLAT
+        # uint8 stack — u8 minor dims (45, 180) tile-pad to (64, 256) (~2x
+        # waste) while a flat minor dim pads ~0.1%; if this variant is much
+        # faster the EnvState storage should go flat
+        S = 1
+        for d in env.config.storage_shape:
+            S *= d
+        with env.bind(consts):
+            flat0 = jnp.zeros((n, env.config.time_horizon, S), jnp.uint8)
+            frame0 = jnp.zeros((n, S), jnp.uint8)
+            no_reset = jnp.zeros((n,), bool)
+            def body(carry, i):
+                flat, key = carry
+                def push1(stack, frame, was_reset):
+                    keep = (~was_reset).astype(stack.dtype)
+                    shifted = stack[1:] * keep
+                    return jnp.concatenate([shifted, frame[None]], axis=0)
+                flat = jax.vmap(push1)(flat, frame0 + i, no_reset)
+                return (flat, key), flat[0, -1, 0].astype(jnp.float32)
+            (flat, key), probes = jax.lax.scan(
+                body, (flat0, key), jnp.arange(n_push, dtype=jnp.uint8))
+            return states, key, jnp.sum(probes) + flat[0, 0, 0]
+
     def rend_all(states, key, consts):
         with env.bind(consts):
             no_reset = jnp.zeros((n,), bool)
@@ -291,9 +337,13 @@ def main():
         phys_npc=phys_npc, phys_offroad=phys_offroad,
         phys_routewin=phys_routewin, phys_dyn=phys_dyn, phys_rng=phys_rng,
         rend_pack=rend_pack, rend_kernel=rend_kernel,
-        rend_tile=rend_tile, rend_roll=rend_roll, rend_all=rend_all,
+        rend_tile=rend_tile, rend_roll=rend_roll,
+        rend_roll_prod=rend_roll_prod, rend_roll_flat=rend_roll_flat,
+        rend_all=rend_all,
     )
 
+    if args.only:
+        variants = {k: v for k, v in variants.items() if args.only in k}
     results = {}
     for name, fn in variants.items():
         step_fn = jax.jit(fn, donate_argnums=(0,))

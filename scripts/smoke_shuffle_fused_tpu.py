@@ -43,9 +43,14 @@ def main():
     gw = jax.random.normal(kg, (N, H, W, C), jnp.float32)
 
     def flax_train(p, xx):
-        out, mut = unit.apply({"params": p, "batch_stats": stats}, xx,
-                              training=True, mutable=["batch_stats"])
-        return out, mut["batch_stats"]
+        # compare at f32 MXU precision: the fused kernel uses
+        # preferred_element_type=f32 passes, while JAX's TPU default matmul
+        # precision is bfloat16 — without this the "error" is the FLAX
+        # path's bf16 truncation (measured 1.6e-2), not the kernel's
+        with jax.default_matmul_precision("highest"):
+            out, mut = unit.apply({"params": p, "batch_stats": stats}, xx,
+                                  training=True, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
 
     def fused_train(p, xx):
         return sup.shuffle_unit_train(xx, p, leak=LEAK, interpret=False)
@@ -66,8 +71,9 @@ def main():
         xx, p, stats, leak=LEAK, interpret=False))(params, x)
     out_pi.block_until_ready()
     log(f"fused infer compiled+ran in {time.perf_counter() - t0:.1f}s")
-    out_fi = unit.apply({"params": params, "batch_stats": stats}, x,
-                        training=False)
+    with jax.default_matmul_precision("highest"):
+        out_fi = unit.apply({"params": params, "batch_stats": stats}, x,
+                            training=False)
     err = float(jnp.max(jnp.abs(out_fi - out_pi)))
     log(f"fwd infer max|diff| = {err:.3e}")
     assert err < 5e-4, err

@@ -70,6 +70,8 @@ class TestStepPhysics:
             rtol=1e-6)
 
     def test_push_rolls_stack_and_records_id(self, env):
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            ordered_image_stack)
         states, _ = jax.jit(lambda k: env.reset_batch(k, 2))(
             jax.random.PRNGKey(1))
         ids0 = np.asarray(states.stack_ids)
@@ -78,11 +80,18 @@ class TestStepPhysics:
         ids1 = np.asarray(pushed.stack_ids)
         np.testing.assert_array_equal(ids1[:, :-1], ids0[:, 1:])
         assert (ids1[:, -1] == 7).all()
-        # rolled image stack: old slots shift left
-        np.testing.assert_array_equal(np.asarray(pushed.image_stack[:, :-1]),
-                                      np.asarray(states.image_stack[:, 1:]))
+        # ordered-view contract: old slots shift left (the physical buffer
+        # is circular — one slot written per push; the ORDERED view must
+        # behave exactly like the old rolled storage)
+        ord0 = np.asarray(ordered_image_stack(
+            states.image_stack, states.stack_ids, states.stack_slot))
+        ord1 = np.asarray(ordered_image_stack(
+            pushed.image_stack, pushed.stack_ids, pushed.stack_slot))
+        np.testing.assert_array_equal(ord1[:, :-1], ord0[:, 1:])
 
     def test_push_with_reset_zeroes_stack(self, env):
+        from carla_driving_rl_agent_tpu.envs.carla_env import (
+            ordered_image_stack)
         states, _ = jax.jit(lambda k: env.reset_batch(k, 2))(
             jax.random.PRNGKey(2))
         was_reset = jnp.asarray([True, False])
@@ -91,10 +100,14 @@ class TestStepPhysics:
         T = env.config.time_horizon
         assert (ids[0, :-1] == -(T + 1)).all() and ids[0, -1] == 3
         assert (np.asarray(pushed.road_stack[0, :-1]) == 0).all()
+        ord0 = np.asarray(ordered_image_stack(
+            states.image_stack, states.stack_ids, states.stack_slot))
+        ord1 = np.asarray(ordered_image_stack(
+            pushed.image_stack, pushed.stack_ids, pushed.stack_slot))
+        # reset world: pre-frame slots read as zeros through the view
+        assert (ord1[0, :-1] == 0).all()
         # non-reset world keeps its history
-        np.testing.assert_array_equal(
-            np.asarray(pushed.image_stack[1, :-1]),
-            np.asarray(states.image_stack[1, 1:]))
+        np.testing.assert_array_equal(ord1[1, :-1], ord0[1, 1:])
 
 
 class TestBlockRollout:
