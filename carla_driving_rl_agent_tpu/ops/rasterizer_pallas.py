@@ -262,15 +262,27 @@ def _render_world(j, geom_ref, dx_ref, dy_ref, dz_ref, u_ref, v_ref, vid_ref,
     g_ = g_ * (1 - fog_f) + sky_g * fog_f
     b_ = b_ * (1 - fog_f) + sky_b * fog_f
 
-    out_ref[j, 0] = jnp.clip(r_, 0.0, 255.0)
-    out_ref[j, 1] = jnp.clip(g_, 0.0, 255.0)
-    out_ref[j, 2] = jnp.clip(b_, 0.0, 255.0)
+    # quantize to uint8 IN the kernel: the epilogue (tile_to_planes /
+    # tile_to_image) previously cast outside, so the kernel's (B, C, 64,
+    # 128) f32 planes round-tripped HBM at 4x the bytes for nothing —
+    # clip+cast here is bitwise-identical (same truncation) and cuts the
+    # kernel write + epilogue read traffic 4x (round-4 bench_parts:
+    # rend_tile 6.4 ms/chunk)
+    # Mosaic has no direct f32->u8 cast; f32->i32->u8 lowers and is the
+    # same truncation for clipped [0, 255] values
+    def q(v):
+        return v.astype(jnp.int32).astype(out_ref.dtype)
+
+    out_ref[j, 0] = q(jnp.clip(r_, 0.0, 255.0))
+    out_ref[j, 1] = q(jnp.clip(g_, 0.0, 255.0))
+    out_ref[j, 2] = q(jnp.clip(b_, 0.0, 255.0))
     if with_depth:
         # log-depth plane (rasterizer.depth_to_u8 encoding); the front-view
         # masking to mirror the reference's single depth camera happens in
         # tile_to_image
         d_m = jnp.minimum(depth, R.MAX_DEPTH)
-        out_ref[j, 3] = jnp.log1p(d_m) * np.float32(255.0 / np.log1p(R.MAX_DEPTH))
+        out_ref[j, 3] = q(jnp.log1p(d_m)
+                          * np.float32(255.0 / np.log1p(R.MAX_DEPTH)))
 
 
 def pack_geometry(inputs: R.RenderInputs) -> jax.Array:
@@ -407,7 +419,7 @@ def render_tile(geom: jax.Array, interpret: bool = False,
     return pl.pallas_call(
         functools.partial(_render_kernel, n_actors=n_actors,
                           with_depth=with_depth),
-        out_shape=jax.ShapeDtypeStruct((1, n_planes) + TILE, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_planes) + TILE, jnp.uint8),
         in_specs=[
             pl.BlockSpec((1, GEOM_PAD), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -443,7 +455,7 @@ def render_tiles_grid(geoms: jax.Array, g_block: int = 8,
         functools.partial(_render_kernel, n_actors=n_actors,
                           with_depth=with_depth, g_block=g_block),
         grid=(B // g_block,),
-        out_shape=jax.ShapeDtypeStruct((B, n_planes) + TILE, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_planes) + TILE, jnp.uint8),
         in_specs=[
             pl.BlockSpec((g_block, GEOM_PAD), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
@@ -469,13 +481,13 @@ def tile_to_image(planes: jax.Array, out_h: int = 90, out_w: int = 120,
     flat = planes[:c].reshape(c, TILE[0] * TILE[1])[:, :N_PIX]
     img = flat.reshape(c, 3, VIEW_H, VIEW_W)           # (chan, view, h, w)
     if with_depth:
-        view_keep = jnp.asarray([0.0, 1.0, 0.0])       # front view only
+        view_keep = jnp.asarray([0, 1, 0], img.dtype)  # front view only
         img = img.at[3].mul(view_keep[:, None, None])
     img = jnp.transpose(img, (2, 1, 3, 0))             # (h, view, w, chan)
     img = img.reshape(VIEW_H, 3 * VIEW_W, c)
-    # cast BEFORE the upsample: the kernel already clips to [0, 255], and
-    # repeat(cast(x)) == cast(repeat(x)), so quantizing first cuts the
-    # repeat's HBM traffic 4x (uint8 vs float32)
+    # cast BEFORE the upsample (no-op for the uint8 kernel planes; exact
+    # truncation parity for the f32 test inputs): repeat(cast(x)) ==
+    # cast(repeat(x)), so quantizing first cuts the repeat's HBM traffic 4x
     img = img.astype(jnp.uint8)
     ry = out_h // VIEW_H
     rx = out_w // VIEW_W
@@ -503,7 +515,7 @@ def tile_to_planes(planes: jax.Array, with_depth: bool = False) -> jax.Array:
     flat = planes[:c].reshape(c, TILE[0] * TILE[1])[:, :N_PIX]
     img = flat.reshape(c, 3, VIEW_H, VIEW_W)           # (chan, view, h, w)
     if with_depth:
-        view_keep = jnp.asarray([0.0, 1.0, 0.0])       # front view only
+        view_keep = jnp.asarray([0, 1, 0], img.dtype)  # front view only
         img = img.at[3].mul(view_keep[:, None, None])
     img = jnp.transpose(img, (0, 2, 1, 3))             # (chan, h, view, w)
     return img.reshape(c, VIEW_H, 3 * VIEW_W).astype(jnp.uint8)
