@@ -320,6 +320,29 @@ def main():
                 body, (states, key), jnp.arange(STEPS_PER_CALL, dtype=jnp.float32))
             return states, key, jnp.sum(probes)
 
+    def phys_dyn_lean(states, key, consts):
+        # same bicycle-only body as phys_dyn but the scan carries ONLY the
+        # four ego arrays, not the full EnvState pytree — isolates whether
+        # the ~6 ms per-chunk variant floor is carry threading of the big
+        # (1024, T, C, SH, SW) u8 stacks vs per-iteration dispatch overhead
+        with env.bind(consts):
+            a = fixed_actions(n)
+            def body(carry, i):
+                x, y, yaw, v = carry
+                def one(x, y, yaw, v, act):
+                    c = dyn_mod.actions_to_control(
+                        act, v, throttle_as_desired_speed=True,
+                        disable_reverse=True)
+                    return dyn_mod.step_bicycle(x, y, yaw, v, c)
+                x, y, yaw, v = jax.vmap(one)(x, y, yaw, v, a + i * 1e-4)
+                return (x, y, yaw, v), x[0]
+            w = states.world
+            (x, y, yaw, v), probes = jax.lax.scan(
+                body, (w.x, w.y, w.yaw, w.v),
+                jnp.arange(STEPS_PER_CALL, dtype=jnp.float32))
+            states = states._replace(world=w._replace(x=x, y=y, yaw=yaw, v=v))
+            return states, key, jnp.sum(probes)
+
     def phys_rng(states, key, consts):
         def body(carry, _):
             states, key = carry
@@ -335,7 +358,8 @@ def main():
         phys_full=phys_full, phys_fixedact=phys_fixedact,
         phys_noreset=phys_noreset, phys_vecobs=phys_vecobs,
         phys_npc=phys_npc, phys_offroad=phys_offroad,
-        phys_routewin=phys_routewin, phys_dyn=phys_dyn, phys_rng=phys_rng,
+        phys_routewin=phys_routewin, phys_dyn=phys_dyn,
+        phys_dyn_lean=phys_dyn_lean, phys_rng=phys_rng,
         rend_pack=rend_pack, rend_kernel=rend_kernel,
         rend_tile=rend_tile, rend_roll=rend_roll,
         rend_roll_prod=rend_roll_prod, rend_roll_flat=rend_roll_flat,
