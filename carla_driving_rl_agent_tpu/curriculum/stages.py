@@ -244,9 +244,12 @@ def _stage_common(kwargs: dict) -> dict:
 
 def stage_s1(episodes: int, timesteps: int, batch_size: int, save_every=None,
              seed: int = 42, stage_name: str = "stage-s1", num_envs: int = 32,
-             town: str = DEFAULT_TOWN, **kwargs) -> Stage:
+             town: str = DEFAULT_TOWN,
+             env_overrides: Optional[dict] = None, **kwargs) -> Stage:
     """Stage-1: 10 seed-fixed origins, no dynamic objects
-    (reference `core/learning.py:311-339`)."""
+    (reference `core/learning.py:311-339`).
+    `env_overrides`: extra define_env kwargs (e.g. the safety-shaping knobs
+    of `main.py --safe`), same contract as stage_s5."""
     hp = _stage_common(kwargs)
     agent = define_agent(batch_size=batch_size, num_envs=num_envs,
                          rollout_steps=kwargs.pop("rollout_steps",
@@ -255,7 +258,8 @@ def stage_s1(episodes: int, timesteps: int, batch_size: int, save_every=None,
                          seed=seed, aug_intensity=kwargs.pop("aug_intensity", 0.0), **hp, **kwargs)
     env = define_env(town=town, origins=sample_origins(town, amount=10, seed=seed),
                      throttle_as_desired_speed=True, disable_reverse=True,
-                     max_timesteps=timesteps, seed=seed)
+                     max_timesteps=timesteps, seed=seed,
+                     **(env_overrides or {}))
     return Stage(agent=agent, environment=env, name=stage_name,
                  learning=dict(agent=dict(episodes=episodes, timesteps=timesteps,
                                           save_every=save_every)))
@@ -263,7 +267,8 @@ def stage_s1(episodes: int, timesteps: int, batch_size: int, save_every=None,
 
 def stage_s2(episodes: int, timesteps: int, batch_size: int, save_every=None,
              seed: int = 42, stage_name: str = "stage-s2", num_envs: int = 32,
-             town: str = DEFAULT_TOWN, **kwargs) -> Stage:
+             town: str = DEFAULT_TOWN,
+             env_overrides: Optional[dict] = None, **kwargs) -> Stage:
     """Stage-2: 50 random origins + 50 pedestrians, weights loaded
     (reference `core/learning.py:342-369`)."""
     hp = _stage_common(kwargs)
@@ -276,7 +281,8 @@ def stage_s2(episodes: int, timesteps: int, batch_size: int, save_every=None,
     env = define_env(town=town, origins=sample_origins(town, amount=50, seed=seed),
                      spawn=dict(vehicles=0, pedestrians=50),
                      throttle_as_desired_speed=True, disable_reverse=True,
-                     max_timesteps=timesteps, seed=seed)
+                     max_timesteps=timesteps, seed=seed,
+                     **(env_overrides or {}))
     return Stage(agent=agent, environment=env, name=stage_name,
                  learning=dict(agent=dict(episodes=episodes, timesteps=timesteps,
                                           save_every=save_every)))
@@ -284,7 +290,8 @@ def stage_s2(episodes: int, timesteps: int, batch_size: int, save_every=None,
 
 def stage_s3(episodes: int, timesteps: int, batch_size: int, save_every=None,
              seed: int = 42, stage_name: str = "stage-s3", num_envs: int = 32,
-             town: str = DEFAULT_TOWN, **kwargs) -> Stage:
+             town: str = DEFAULT_TOWN,
+             env_overrides: Optional[dict] = None, **kwargs) -> Stage:
     """Stage-3: + 50 vehicles + random light weather
     (reference `core/learning.py:372-409`)."""
     hp = _stage_common(kwargs)
@@ -297,7 +304,8 @@ def stage_s3(episodes: int, timesteps: int, batch_size: int, save_every=None,
     env = define_env(town=town, random_weathers=list(TRAIN_WEATHERS),
                      spawn=dict(vehicles=50, pedestrians=50),
                      throttle_as_desired_speed=True, disable_reverse=True,
-                     max_timesteps=timesteps, seed=seed)
+                     max_timesteps=timesteps, seed=seed,
+                     **(env_overrides or {}))
     return Stage(agent=agent, environment=env, name=stage_name,
                  learning=dict(agent=dict(episodes=episodes, timesteps=timesteps,
                                           save_every=save_every)))
@@ -305,7 +313,8 @@ def stage_s3(episodes: int, timesteps: int, batch_size: int, save_every=None,
 
 def stage_s4(episodes: int, timesteps: int, batch_size: int, towns=None,
              save_every=None, seed: int = 42, stage_name: str = "stage-s4",
-             num_envs: int = 32, town: str = DEFAULT_TOWN, **kwargs) -> Stage:
+             num_envs: int = 32, town: str = DEFAULT_TOWN,
+             env_overrides: Optional[dict] = None, **kwargs) -> Stage:
     """Stage-4: + optional random towns + data augmentation
     (reference `core/learning.py:412-450`)."""
     hp = _stage_common(kwargs)
@@ -319,7 +328,8 @@ def stage_s4(episodes: int, timesteps: int, batch_size: int, towns=None,
                      random_weathers=list(TRAIN_WEATHERS),
                      spawn=dict(vehicles=50, pedestrians=50),
                      throttle_as_desired_speed=True, disable_reverse=True,
-                     max_timesteps=timesteps, seed=seed)
+                     max_timesteps=timesteps, seed=seed,
+                     **(env_overrides or {}))
     return Stage(agent=agent, environment=env, name=stage_name,
                  learning=dict(agent=dict(episodes=episodes, timesteps=timesteps,
                                           save_every=save_every)))

@@ -118,16 +118,29 @@ def sharp_recipe() -> dict:
 # tested) stays on.
 FAST_TRAIN = dict()
 
+# Safety-shaped env pricing (--safe): the round-3/4 "safe" recipe's two
+# env knobs (scripts/safety_finetune.py) applied FROM STAGE-1 instead of as
+# an endpoint fine-tune.  Round-4 diagnosis: every failure is an
+# uncorrected off-road drift at 17-25 km/h; the parity off-road cost (10)
+# is too cheap a death once the policy actually achieves speed, and the
+# safe-s5 endpoint fine-tune sits at a fragile optimum (further tuning
+# regresses — logs/r4-ft-no-traffic.log).  Pricing it from s1 lets the
+# whole curriculum learn under the true cost (VERDICT r4 item 4).
+SAFE_ENV = dict(off_road_penalty_divisor=5.0,   # off-road exit costs 200
+                reward_speed_cap=15.0)          # km/h the reward credits
+
 
 def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
                block: bool = False, weights_dir: str = "weights",
                sharp: bool = False, aug_intensity: float = None,
-               fast: bool = True):
+               fast: bool = True, safe: bool = False):
     common = dict(episodes=EPISODES, timesteps=TIMESTEPS, batch_size=BATCH,
                   num_envs=num_envs, save_every="end",
                   rollout_block=block, weights_dir=weights_dir)
     if fast:
         common.update(FAST_TRAIN)
+    if safe:
+        common["env_overrides"] = dict(SAFE_ENV)
     if sharp:
         common.update(sharp_recipe())
         # measured on the v3 chain (round 2): full-strength update-time
@@ -166,7 +179,8 @@ def hand_off(src_stage: str, dst_stage: str, weights_dir: str = "weights"):
 
 def run_curriculum(epochs, num_envs: int = NUM_ENVS,
                    block: bool = False, weights_dir: str = "weights",
-                   sharp: bool = False, fast: bool = True):
+                   sharp: bool = False, fast: bool = True,
+                   safe: bool = False):
     """epochs: an int (same for every stage) or a per-stage list
     "e1,e2,e3,e4,e5" (the original on-TPU curriculum used 30,16,12,10,10)."""
     if isinstance(epochs, str) and "," in epochs:
@@ -181,7 +195,8 @@ def run_curriculum(epochs, num_envs: int = NUM_ENVS,
         import time as _time
         t0 = _time.perf_counter()
         stage = make_stage(which, per_stage[i], num_envs, block=block,
-                           weights_dir=weights_dir, sharp=sharp, fast=fast)
+                           weights_dir=weights_dir, sharp=sharp, fast=fast,
+                           safe=safe)
         stage.run2(epochs=per_stage[i], copy_weights=False)
         print(f"=== stage-{which} done in {_time.perf_counter() - t0:.1f} s ===",
               flush=True)
@@ -247,6 +262,9 @@ if __name__ == "__main__":
     parser.add_argument("--sharp", action="store_true",
                         help="sharp recipe: decaying entropy + Beta-head "
                              "saturation guard (see sharp_recipe)")
+    parser.add_argument("--safe", action="store_true",
+                        help="safety-shaped env pricing from stage-1 "
+                             "(off-road x20, 15 km/h reward cap — SAFE_ENV)")
     parser.add_argument("--slow", action="store_true",
                         help="reference-shaped sequential two-phase trainer "
                              "(disables the fused update — FAST_TRAIN)")
@@ -262,7 +280,7 @@ if __name__ == "__main__":
     if args.curriculum:
         run_curriculum(args.epochs, args.num_envs, block=args.block,
                        weights_dir=args.weights_dir, sharp=args.sharp,
-                       fast=not args.slow)
+                       fast=not args.slow, safe=args.safe)
     elif args.standard:
         run_standard(int(args.epochs), args.num_envs, sharp=args.sharp,
                      stage_name=("stage-standard-sharp" if args.sharp
@@ -272,7 +290,7 @@ if __name__ == "__main__":
         make_stage(args.stage, int(args.epochs), args.num_envs, block=args.block,
                    weights_dir=args.weights_dir, sharp=args.sharp,
                    aug_intensity=args.aug_intensity,
-                   fast=not args.slow).run2(epochs=int(args.epochs))
+                   fast=not args.slow, safe=args.safe).run2(epochs=int(args.epochs))
     elif args.evaluate:
         run_evaluation(weights=args.weights, trials=args.trials)
     elif args.record:
