@@ -73,11 +73,10 @@ class ShuffleUnit(nn.Module):
     def __call__(self, x, training: bool = False):
         if self.fused and self.stride == 1 and not self.is_initializing():
             from carla_driving_rl_agent_tpu.ops import shuffle_unit_pallas as sup
-            # big early-stage maps exceed the backward kernel's VMEM
-            # liveness budget at even one sample per tile (hardware OOM,
-            # round-4) — those units stay on the flax path until the
-            # halo-split kernel exists
-            if sup.fits_vmem(x.shape[1], x.shape[2], x.shape[3]):
+            # small maps run the sample-aligned kernels; big early-stage
+            # maps (stage-2 (23,90,48): hardware scoped-VMEM OOM, round-4)
+            # dispatch to the halo-tiled kernels — supports() covers both
+            if sup.supports(x.shape[1], x.shape[2], x.shape[3]):
                 return self._fused_call(x, training)
         conv = lambda f, k, s=1: nn.Conv(f, (k, k), strides=(s, s), padding="SAME",
                                          dtype=self.dtype,
