@@ -47,18 +47,32 @@ def _peaks():
     return PEAK_BY_KIND.get(kind, (None, None))
 
 
+def _parse_ca(ca):
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] or {}
+    ca = ca or {}
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
 def _cost(lowered):
-    """flops + bytes from XLA's (pre-optimization) HLO cost analysis.
-    Unoptimized-HLO 'bytes accessed' overcounts vs the fused executable, so
-    byte-based utilizations are upper-bound estimates; flops are exact for
-    the math actually requested."""
+    """flops + bytes from XLA's HLO cost analysis.  The pre-optimization
+    analysis returns 0.0 on the remote-attached ("axon") backend in every
+    recorded run (VERDICT r4 item 3), so fall through to the COMPILED
+    executable's analysis — the compile hits the persistent cache (the
+    program just ran), making this a cheap lookup.  Callers still need an
+    analytic fallback: returns (0.0, 0.0) when both fail."""
+    fl = by = 0.0
     try:
-        ca = lowered.cost_analysis() or {}
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] or {}
-        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+        fl, by = _parse_ca(lowered.cost_analysis())
     except Exception:
-        return 0.0, 0.0
+        pass
+    if not fl:
+        try:
+            fl2, by2 = _parse_ca(lowered.compile().cost_analysis())
+            fl, by = fl2 or fl, by or by2
+        except Exception:
+            pass
+    return fl, by
 
 
 def main():
@@ -178,6 +192,17 @@ def main():
               f"{by / 1e9:.2f} GB per {STEPS_PER_CALL}-step chunk")
     except Exception as e:
         _mark(f"env cost analysis failed: {type(e).__name__}: {e}")
+    # Guaranteed-emit utilization FLOOR from arithmetic the bench already
+    # knows: the rendered image-stack traffic alone (one u8 (H, 3W, 3)
+    # frame written per world per past_obs_freq steps; the kernel's plane
+    # write + the stack-slot store make that x2).  The env's true HBM use
+    # is higher (physics state, geometry reads) — this bounds it from
+    # below even when XLA's cost analysis returns nothing (axon backend).
+    if peak_bw:
+        img_bytes = (TIMED_CALLS * (STEPS_PER_CALL // block) * NUM_WORLDS
+                     * env.config.image_height * env.config.image_width * 3
+                     * 3 * 2)
+        env_extra["env_hbm_util_floor_img"] = round(img_bytes / dt / peak_bw, 4)
 
     # The remote worker can wedge between programs (observed: device ops
     # hang forever at ~0%% CPU); a hung train bench must not block the
@@ -273,10 +298,24 @@ def train_bench() -> dict:
         fl, by = _cost(fn.lower(agent.params, agent.stats, agent.opt_state,
                                 env_states, keys_arr, hyp, lrs,
                                 agent.env.consts))
-        _mark(f"train cost analysis: {fl / 1e12:.3f} TFLOP, "
+        src = "xla"
+        if not fl:
+            # the axon backend returns 0.0 from BOTH cost analyses — fall
+            # back to the closed-form MAC walk (utils/flops.py, pinned
+            # against XLA's CPU analysis by tests/test_flops.py) so
+            # train_mfu ALWAYS emits (VERDICT r4 item 3)
+            from carla_driving_rl_agent_tpu.utils.flops import \
+                train_chunk_flops
+            fl = train_chunk_flops(
+                c, steps, num_envs,
+                opt_steps=tuple(agent.config.optimization_steps),
+                fused_update=bool(agent.config.fused_update))
+            src = "analytic"
+        _mark(f"train cost analysis ({src}): {fl / 1e12:.3f} TFLOP, "
               f"{by / 1e9:.2f} GB per {c}-update chunk")
         if fl and peak_fl:
             out["train_mfu"] = round(fl / dt / peak_fl, 5)
+            out["train_mfu_source"] = src
         if by and peak_bw:
             out["train_hbm_util_est"] = round(by / dt / peak_bw, 4)
     except Exception as e:
