@@ -131,9 +131,14 @@ def main():
             (states, key), rewards = jax.lax.scan(body, (states, key), a_all)
             # scalar probe depending on BOTH rewards and rendered stacks, so
             # fetching it forces the full computation (remote-attached
-            # backends have unreliable block_until_ready semantics)
+            # backends have unreliable block_until_ready semantics).
+            # newest_frame resolves the circular buffer's write slot — a
+            # fixed physical slot is the last-pushed frame only by
+            # coincidence of STEPS_PER_CALL/block/time_horizon
+            from carla_driving_rl_agent_tpu.envs.carla_env import newest_frame
             probe = jnp.sum(rewards) + jnp.mean(
-                states.image_stack[0, -1].astype(jnp.float32))
+                newest_frame(states.image_stack, states.stack_slot)[0]
+                .astype(jnp.float32))
             return states, key, probe
 
     step_fn = jax.jit(rollout_chunk, donate_argnums=(0,))

@@ -597,14 +597,33 @@ class CARLAEnv:
             vec["road"], vec["vehicle"], vec["navigation"])
 
         T = cfg.time_horizon
-        slot_new = ((states.stack_slot[0] + 1) % T).astype(jnp.int32)
-        img = jax.lax.switch(
-            slot_new,
-            [(lambda st, k=k: st.at[:, k].set(images)) for k in range(T)],
-            states.image_stack)
-        return states._replace(
-            image_stack=img,
-            stack_slot=jnp.full_like(states.stack_slot, slot_new))
+        uniform = jnp.all(states.stack_slot == states.stack_slot[0])
+
+        def write_uniform(stack):
+            # fast path (the rollout/step invariant): every world shares a
+            # slot, so the write is a statically-indexed switch
+            slot_new = ((states.stack_slot[0] + 1) % T).astype(jnp.int32)
+            img = jax.lax.switch(
+                slot_new,
+                [(lambda st, k=k: st.at[:, k].set(images)) for k in range(T)],
+                stack)
+            return img, jnp.full_like(states.stack_slot, slot_new)
+
+        def write_general(stack):
+            # states assembled OUTSIDE the rollout/step paths may carry
+            # non-uniform slots; a world-0-derived static write would then
+            # silently corrupt every other world's frame history — fall
+            # back to a per-world one-hot write (cond picks the branch at
+            # runtime; the fast path pays only the jnp.all reduce)
+            slot_new = ((states.stack_slot + 1) % T).astype(jnp.int32)
+            onehot = jnp.arange(T)[None, :] == slot_new[:, None]
+            img = jnp.where(onehot[..., None, None, None],
+                            images[:, None], stack)
+            return img, slot_new
+
+        img, slot_vec = jax.lax.cond(uniform, write_uniform, write_general,
+                                     states.image_stack)
+        return states._replace(image_stack=img, stack_slot=slot_vec)
 
     # ---- batched conveniences ----
     def reset_batch(self, key: jax.Array, num_envs: int):

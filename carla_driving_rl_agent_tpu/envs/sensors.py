@@ -161,8 +161,10 @@ def _actor_polar(world: WorldState):
     rng = jnp.maximum(jnp.linalg.norm(rel, axis=-1), 1e-6)
     brg = _wrap_pi(jnp.arctan2(rel[:, 1], rel[:, 0]) - world.yaw)
     ego_vel = world.v * jnp.stack([jnp.cos(world.yaw), jnp.sin(world.yaw)])
-    # radial component of the relative velocity (positive = receding)
-    rvel = jnp.sum((vel - ego_vel) * rel, axis=-1) / rng
+    # radial component of the relative velocity, positive = approaching the
+    # sensor — matches CARLA's RadarDetection.velocity sign (the reference
+    # sensor's payload); d(range)/dt = -rvel
+    rvel = -jnp.sum((vel - ego_vel) * rel, axis=-1) / rng
     return rng, brg, rvel, active
 
 

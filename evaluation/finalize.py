@@ -44,7 +44,7 @@ AGENTS = {
     # NOTE: the expert-imitation thread (scripts/imitation_probe.py) ended as
     # a recorded NEGATIVE result (README "recipe iterations" table): no probe
     # beat the sharp RL chain at the Town03 gate, so no imitation row is
-    # published; probes remain archived under weights/imitation-*.
+    # published; probes remain archived under archive/weights/imitation-*.
     # TPU-new: the safety fine-tune (scripts/safety_finetune.py — off-road
     # penalty x20 + 15 km/h reward speed cap on top of the sharp curriculum
     # endpoint); included only once its sweep exists

@@ -82,8 +82,10 @@ def main():
                 return (states, key), rewards.sum()
             (states, key), rewards = jax.lax.scan(
                 body, (states, key), jnp.arange(STEPS_PER_CALL // block))
+            from carla_driving_rl_agent_tpu.envs.carla_env import newest_frame
             probe = jnp.sum(rewards) + jnp.mean(
-                states.image_stack[0, -1].astype(jnp.float32))
+                newest_frame(states.image_stack, states.stack_slot)[0]
+                .astype(jnp.float32))
             return states, key, probe
 
     import functools

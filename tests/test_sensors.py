@@ -88,6 +88,22 @@ class TestReadings:
         obs = sensors.ObstacleDetector().read(world)
         assert np.isfinite(float(obs["distance"]))
 
+    def test_radar_velocity_sign(self, world):
+        """CARLA RadarDetection.velocity convention: positive = TOWARD the
+        sensor.  Vehicle slot 0 placed dead ahead, driving at the ego."""
+        npc = world.npc
+        ex, ey = float(world.x), float(world.y)
+        npc = npc._replace(
+            veh_xy=npc.veh_xy.at[0].set(jnp.asarray([ex + 10.0, ey])),
+            veh_yaw=npc.veh_yaw.at[0].set(jnp.pi),      # facing the ego
+            veh_v=npc.veh_v.at[0].set(5.0),
+            veh_active=npc.veh_active.at[0].set(1.0))
+        w = world._replace(yaw=jnp.zeros_like(world.yaw),
+                           v=jnp.zeros_like(world.v), npc=npc)
+        out = sensors.RadarSensor().read(w)
+        assert bool(out["valid"][0])
+        np.testing.assert_allclose(float(out["velocity"][0]), 5.0, atol=1e-4)
+
     def test_reads_jit_and_vmap(self, env):
         states, _ = env.reset_batch(jax.random.PRNGKey(1), 4)
         lidar = sensors.LidarSensor(num_rays=45, max_range=30.0)
