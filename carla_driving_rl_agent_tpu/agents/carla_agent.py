@@ -86,6 +86,21 @@ class CARLAgentConfig:
     # clipped once; value updates see policy-phase dynamics params one
     # minibatch fresher.  optimization_steps[0] is the shared epoch count.
     fused_update: bool = False
+    # shared-forward TWO-STEP update (VERDICT r4 item 5's semantics-
+    # preserving fast path): like fused_update, ONE minibatch scan with a
+    # single backbone forward per minibatch — but the stored linearization
+    # is pulled back TWICE (policy objective's cotangent, then value's) and
+    # the shared backbone gets TWO separately-clipped Adam steps in the
+    # sequential phases' order.  This removes the diagnosed fused_update
+    # failure mechanism (ONE summed-gradient Adam step lets the larger
+    # value gradient dominate the backbone and starve the policy head —
+    # logs/r4-fast-curriculum.log) while still saving the duplicated
+    # forward and the second gather/augment pass.  Remaining deviations vs
+    # sequential: policy and value share the minibatch permutation; both
+    # gradients are evaluated at the SAME params (sequential's value phase
+    # sees post-policy-phase params); one BN-stats fold per minibatch
+    # instead of two.  Mutually exclusive with fused_update.
+    two_step_update: bool = False
     # how many train updates run inside ONE jitted program (lax.scan over
     # per-update key/hyper/lr arrays — _build_train_chunk_fn).  Identical
     # numerics to per-update dispatch; amortizes the remote-attached
@@ -160,6 +175,8 @@ class CARLAgent:
         self.summary = Summary(mode=log_mode, name=name)
 
         cfg = self.config
+        assert not (cfg.fused_update and cfg.two_step_update), \
+            "fused_update and two_step_update are mutually exclusive"
         net_spec = dict(cfg.network or {})
         self.network = CARLANetwork(
             num_actions=env.config.num_actions,
@@ -555,6 +572,104 @@ class CARLAgent:
                     entropy=jnp.mean(p_metrics["entropy"]),
                     ratio=jnp.mean(p_metrics["ratio"]),
                     kl=jnp.mean(p_metrics["kl"]),
+                )
+                return params, stats, opt_state, env_states, key, metrics
+
+            # ---- shared-forward two-step updates (see two_step_update) ----
+            if cfg.two_step_update:
+                perm = jax.random.permutation(k_shuffle_p, S * B)
+
+                def two_step_minibatch(carry, mb_idx):
+                    params, stats, opt_state, key = carry
+                    key, k_s, k_aug = jax.random.split(key, 3)
+                    idx = jax.lax.dynamic_slice_in_dim(
+                        perm, mb_idx * cfg.batch_size, cfg.batch_size)
+                    batch = gather_batch(idx, k_aug)
+
+                    def fwd(pvd):
+                        feat, d_stats = net.dynamics_apply(
+                            pvd, stats, batch["obs"], training=True)
+                        p_total, p_aux = self._policy_objective(
+                            pvd, stats, feat, batch, hyper, k_s)
+                        v_total, v_aux = self._value_objective(
+                            pvd, stats, feat, batch)
+                        aux = dict(p_aux, **v_aux)
+                        aux.update(loss_value=v_total, d_stats=d_stats)
+                        return (p_total, v_total), aux
+
+                    pvd = dict(policy=params["policy"], value=params["value"],
+                               dynamics=params["dynamics"])
+                    (p_total, v_total), pullback, aux = jax.vjp(
+                        fwd, pvd, has_aux=True)
+                    # ONE stored linearization pulled back twice: each
+                    # objective gets its own INDEPENDENT gradient (the
+                    # rejected fused_update summed them into one Adam step)
+                    one, zero = jnp.ones(()), jnp.zeros(())
+                    g_p = pullback((one, zero))[0]
+                    g_v = pullback((zero, one))[0]
+
+                    g_pol = um.clip_gradients(g_p["policy"], cfg.clip_norm[0])
+                    g_dyn_p = um.clip_gradients(g_p["dynamics"], cfg.clip_norm[2])
+                    g_val = um.clip_gradients(g_v["value"], cfg.clip_norm[1])
+                    g_dyn_v = um.clip_gradients(g_v["dynamics"], cfg.clip_norm[2])
+
+                    # old_policy <- policy BEFORE applying (ppo.py:238-252)
+                    new_params = dict(params, old_policy=params["policy"])
+                    up, opt_p = self.policy_opt.update(
+                        g_pol, opt_state["policy"], params["policy"])
+                    new_policy = optax.apply_updates(params["policy"], up)
+                    uv, opt_v = self.value_opt.update(
+                        g_val, opt_state["value"], params["value"])
+                    new_value = optax.apply_updates(params["value"], uv)
+                    if cfg.polyak < 1.0:
+                        new_policy = um.polyak_average(
+                            new_policy, params["policy"], cfg.polyak)
+                        new_value = um.polyak_average(
+                            new_value, params["value"], cfg.polyak)
+                    new_params["policy"] = new_policy
+                    new_params["value"] = new_value
+                    opt_d = opt_state["dynamics"]
+                    if cfg.update_dynamics:
+                        # TWO separately-clipped Adam steps on the shared
+                        # backbone, in the sequential phases' order — the
+                        # policy head keeps its own normalized step
+                        dyn = params["dynamics"]
+                        ud, opt_d = self.dynamics_opt.update(g_dyn_p, opt_d,
+                                                             dyn)
+                        dyn = optax.apply_updates(dyn, ud)
+                        ud, opt_d = self.dynamics_opt.update(g_dyn_v, opt_d,
+                                                             dyn)
+                        new_params["dynamics"] = optax.apply_updates(dyn, ud)
+                    new_stats = dict(stats, dynamics=aux["d_stats"],
+                                     policy=aux["p_stats"], value=aux["v_stats"])
+                    new_opt = dict(policy=opt_p, value=opt_v, dynamics=opt_d)
+                    metrics = dict(loss_policy=aux["loss_policy"],
+                                   entropy=aux["entropy"], ratio=aux["ratio"],
+                                   kl=aux["kl"], loss_total=p_total + v_total,
+                                   loss_value=aux["loss_value"])
+                    return (new_params, new_stats, new_opt, key), metrics
+
+                mb_ids_t = jnp.tile(jnp.arange(n_minibatches),
+                                    cfg.optimization_steps[0])
+                (params, stats, opt_state, key), t_metrics = jax.lax.scan(
+                    two_step_minibatch, (params, stats, opt_state, key),
+                    mb_ids_t)
+
+                metrics = dict(
+                    reward_mean=jnp.mean(traj.reward),
+                    episode_done=jnp.sum(done),
+                    collision_rate=jnp.sum(traj.terminated)
+                    / jnp.maximum(jnp.sum(done), 1.0),
+                    speed_mean=jnp.mean(traj.speed),
+                    similarity_mean=jnp.mean(traj.similarity),
+                    advantage_abs=jnp.mean(jnp.abs(advantages)),
+                    returns_mean=jnp.mean(returns_raw),
+                    value_mean=jnp.mean(values),
+                    loss_policy=jnp.mean(t_metrics["loss_policy"]),
+                    loss_value=jnp.mean(t_metrics["loss_value"]),
+                    entropy=jnp.mean(t_metrics["entropy"]),
+                    ratio=jnp.mean(t_metrics["ratio"]),
+                    kl=jnp.mean(t_metrics["kl"]),
                 )
                 return params, stats, opt_state, env_states, key, metrics
 

@@ -101,6 +101,13 @@ VARIANTS = {
     # gate rejected fused_update for full curricula — see main.FAST_TRAIN)
     # with only the backbone units swapped for the Pallas kernel.
     "seq-f32-punit": dict(fused_units=True),
+    # round-5 candidates: the halo-tiled + bf16-pass punit kernel now
+    # covers stage-2 (no flax fallback), and two_step_update is the
+    # semantics-preserving shared-forward update (one backbone fwd per
+    # minibatch, TWO separately-clipped Adam steps — removes the rejected
+    # fused_update's summed-gradient policy-starvation mechanism)
+    "twostep-f32": dict(two_step_update=True),
+    "twostep-f32-punit": dict(two_step_update=True, fused_units=True),
 }
 
 

@@ -41,6 +41,9 @@ def main():
     N, (H, W), C = args.n, args.hw, args.c
     log(f"what={args.what} shape=({N},{H},{W},{C}) "
         f"backend={jax.default_backend()}")
+    mode, rows_t, n_tiles, cp, hp, h_b = sup._layout(N, H, W, C)
+    log(f"layout: mode={mode} rows_t={rows_t} n_tiles={n_tiles} h_b={h_b} "
+        f"mxu_bf16={sup._default_mxu(False)}")
 
     kx, kp, kg = jax.random.split(jax.random.PRNGKey(0), 3)
     x = jax.random.normal(kx, (N, H, W, C), jnp.float32)
