@@ -25,6 +25,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-tier-only test (deep equivalence / long compile); "
+        "skipped by default, run with --full or CDRL_FULL_TESTS=1")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the FULL tier including slow-marked tests (~50 min cold "
+             "on the 1-vCPU host; the default fast tier is ~20 min and "
+             "keeps at least one pin per subsystem)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full") or os.environ.get("CDRL_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow tier — run with pytest --full")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -255,6 +255,7 @@ class TestFusedUpdateParity:
         assert step > 0.0, "value params did not move"
         assert gap < 0.5 * step, (gap, step)
 
+    @pytest.mark.slow
     def test_fused_multi_update_stays_finite_and_close(self, tiny_env,
                                                        tmp_path_factory):
         """3 updates: trajectories may diverge chaotically (slightly
@@ -285,6 +286,7 @@ class TestChunkedDispatch:
         _, hist = ag.learn(num_updates=3)
         return hist, ag
 
+    @pytest.mark.slow
     def test_chunked_matches_per_update(self, tiny_env, tmp_path_factory):
         h1, ag1 = self._history(tiny_env, tmp_path_factory, 1)
         h8, ag8 = self._history(tiny_env, tmp_path_factory, 8)
@@ -297,6 +299,7 @@ class TestChunkedDispatch:
         assert ag1.update_step == ag8.update_step == 3
         assert ag1.policy_lr.step == ag8.policy_lr.step
 
+    @pytest.mark.slow
     def test_tail_updates_use_per_update_path(self, tiny_env,
                                               tmp_path_factory):
         """num_updates not divisible by the chunk size: the tail runs as

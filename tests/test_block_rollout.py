@@ -181,6 +181,7 @@ class TestBlockRollout:
 
 
 class TestBlockAgent:
+    @pytest.mark.slow
     def test_learn_and_eval_with_block_rollout(self, env, tmp_path):
         cfg = CARLAgentConfig(num_envs=4, rollout_steps=8, batch_size=8,
                               network=TINY_NET, seed=11, rollout_block=True)

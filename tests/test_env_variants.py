@@ -123,6 +123,7 @@ class TestOneCameraObsContract:
 
 
 class TestMultiLaneTowns:
+    @pytest.mark.slow
     def test_town04_route_bank_contains_lane_changes(self):
         """Town04/06 are multi-lane: the planner's zero-cost lateral edges
         (reference navigation/route_planner.py:174-219) must surface

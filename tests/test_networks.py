@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from carla_driving_rl_agent_tpu.models.carla_network import CARLANetwork
 from carla_driving_rl_agent_tpu.models.shufflenet import ShuffleNetV2, channel_shuffle
@@ -209,6 +210,7 @@ class TestFusedShuffleUnits:
                                        np.asarray(val), rtol=1e-3, atol=1e-5,
                                        err_msg=jax.tree_util.keystr(k))
 
+    @pytest.mark.slow
     def test_train_gradients_close(self):
         ref, fus = self._nets()
         x = self._x()

@@ -70,6 +70,7 @@ def _train_metrics_impl(n_devices, num_updates: int = 2,
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 class TestMeshTraining:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import importlib.util
         import os
@@ -80,6 +81,7 @@ class TestMeshTraining:
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(8)
 
+    @pytest.mark.slow
     def test_numerical_equivalence_vs_single_device(self):
         """Same seed, same tiny config: two train updates on a 1-device mesh
         and on 2/4/8-device meshes must produce the same metrics (GSPMD may
@@ -109,6 +111,7 @@ class TestMeshTraining:
                     err_msg=f"{n}-device mesh diverges from 1-device on "
                             f"metric {k!r} (update 0 and 1)")
 
+    @pytest.mark.slow
     def test_multislice_mesh_equivalence(self):
         """2x4 (slice, world) multi-slice mesh: same metrics as 1-device
         (worlds data-parallel over DCN+ICI; params replicated)."""

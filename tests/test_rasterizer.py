@@ -137,6 +137,7 @@ class TestBankedPallasPath:
         frac = (diff <= 2).mean()
         assert frac > 0.97, f"banked pack diverged: {1-frac:.4f} pixels differ"
 
+    @pytest.mark.slow
     def test_grid_batched_render_matches_vmap(self):
         """render_tiles_grid (G worlds per grid step) must be numerically
         identical to the per-world vmap path — same kernel body, different

@@ -79,6 +79,7 @@ def test_env_rollout_under_unsafe_rbg(rbg_impl):
     assert not bool(jnp.all(states.world.x == states3.world.x))
 
 
+@pytest.mark.slow
 def test_expert_and_network_paths_under_unsafe_rbg(rbg_impl):
     """The fused expert-rollout path (keys thread through rollout + update
     sampling) stays finite under rbg keys."""

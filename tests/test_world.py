@@ -403,6 +403,7 @@ class TestNPCLaneChanges:
                               v_max=12, p_max=1),
             image_height=48, image_width=32, render_mode="zeros"))
 
+    @pytest.mark.slow
     def test_blocked_npc_hops_to_clear_adjacent_lane(self):
         """An NPC blocked by a stopped lead on a 2-lane road must retarget
         its waypoint onto the adjacent lane (overtake,
