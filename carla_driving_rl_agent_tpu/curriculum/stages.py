@@ -74,6 +74,7 @@ def build_env(town: str = DEFAULT_TOWN, image_shape=(90, 120, 3),
               off_road_penalty_divisor: float = 100.0,
               reward_speed_cap: float = 150.0,
               speed_over_cap_penalty: float = 0.0,
+              lateral_obs: bool = False,
               seed: int = 42, **_ignored) -> CARLAEnv:
     """Build a CARLAEnv from stage-style kwargs."""
     spawn = spawn or {}
@@ -93,6 +94,7 @@ def build_env(town: str = DEFAULT_TOWN, image_shape=(90, 120, 3),
         off_road_penalty_divisor=off_road_penalty_divisor,
         reward_speed_cap=reward_speed_cap,
         speed_over_cap_penalty=speed_over_cap_penalty,
+        lateral_obs=lateral_obs,
         seed=seed)
     return CARLAEnv(CARLAEnvConfig(
         world=params, image_height=image_shape[0], image_width=image_shape[1],
@@ -373,12 +375,16 @@ _EVAL_STAGE_CACHE: dict = {}
 
 
 def _eval_stage(mode: str, traffic: str, steps: int, trials: int,
-                weights: str, num_envs: Optional[int]) -> Stage:
+                weights: str, num_envs: Optional[int],
+                env_overrides: Optional[dict] = None) -> Stage:
     """One multi-town Stage per (mode, traffic) config: the env holds the
     full 8-town bank and the eval program compiles ONCE; scenarios pin the
     town via the traced `select_town` — instead of rebuilding env + program
-    for each of the 48 scenarios."""
-    key = (mode, traffic, steps, trials, weights, num_envs)
+    for each of the 48 scenarios.  `env_overrides` must match the env the
+    checkpoint was TRAINED with when the override is structural (e.g.
+    lateral_obs changes the navigation input dim)."""
+    key = (mode, traffic, steps, trials, weights, num_envs,
+           tuple(sorted((env_overrides or {}).items())))
     if key not in _EVAL_STAGE_CACHE:
         # keep at most one live eval stage: each holds device-resident town
         # banks + a compiled program, and stacking six of them pressures HBM
@@ -416,7 +422,8 @@ def _eval_stage(mode: str, traffic: str, steps: int, trials: int,
         env = define_env(town=EVAL_TOWNS[0], random_towns=list(EVAL_TOWNS),
                          random_weathers=weather, spawn=TRAFFIC_SPECS[traffic],
                          throttle_as_desired_speed=True, disable_reverse=True,
-                         max_timesteps=steps, seed=42)
+                         max_timesteps=steps, seed=42,
+                         **(env_overrides or {}))
         stage = Stage(agent=agent, environment=env, name=weights,
                       learning=dict(agent=dict(episodes=1, timesteps=steps)))
         stage.init()
@@ -426,12 +433,16 @@ def _eval_stage(mode: str, traffic: str, steps: int, trials: int,
 
 def evaluate(mode: str, town: str, seeds: list, traffic: str, steps: int = 512,
              trials: int = 50, weights: str = "stage-s5",
-             num_envs: Optional[int] = None) -> None:
+             num_envs: Optional[int] = None,
+             env_overrides: Optional[dict] = None) -> None:
     """The 48-scenario evaluation protocol driver
     (reference `core/learning.py:505-530`): train-mode uses the 7 light
     training weathers, test-mode the 7 held-out presets; per-seed scenario
-    JSONs named `{weights}-{mode}-{steps}-{trials}-{town}-{traffic}-{seed}`."""
-    stage = _eval_stage(mode, traffic, steps, trials, weights, num_envs)
+    JSONs named `{weights}-{mode}-{steps}-{trials}-{town}-{traffic}-{seed}`.
+    `env_overrides`: structural env flags the checkpoint was trained with
+    (e.g. dict(lateral_obs=True))."""
+    stage = _eval_stage(mode, traffic, steps, trials, weights, num_envs,
+                        env_overrides)
     stage.env.select_town(town if town in stage.env.params.town_names else None)
     for i, seed in enumerate(seeds):
         stage.evaluate(

@@ -219,7 +219,8 @@ class CARLAEnv:
 
     @property
     def observation_space(self) -> spaces.Dict:
-        n = self.params.num_waypoints_for_feature
+        n = world_mod.nav_feature_dim(self.params)
+        nav_low = -3.0 if self.params.lateral_obs else 0.0
         extra = {}
         if self.config.cameras == 1:
             # OneCamera base-env keys (reference environment.py:840-859)
@@ -229,7 +230,7 @@ class CARLAEnv:
             road=spaces.Box(low=0.0, high=1.0, shape=(9,)),
             vehicle=spaces.Box(low=0.0, high=1.0, shape=(4,)),
             image=spaces.Box(low=0.0, high=1.0, shape=self.config.image_shape),
-            navigation=spaces.Box(low=0.0, high=25.0, shape=(n,)),
+            navigation=spaces.Box(low=nav_low, high=25.0, shape=(n,)),
             **extra,
         )
 
@@ -347,7 +348,7 @@ class CARLAEnv:
         img_stack = jnp.zeros((T,) + cfg.storage_shape, jnp.uint8).at[-1].set(frame["image"])
         road_stack = jnp.zeros((T, 9)).at[-1].set(frame["road"])
         veh_stack = jnp.zeros((T, 4)).at[-1].set(frame["vehicle"])
-        nav_stack = jnp.zeros((T, self.params.num_waypoints_for_feature)).at[-1].set(
+        nav_stack = jnp.zeros((T, world_mod.nav_feature_dim(self.params))).at[-1].set(
             frame["navigation"])
         # zero-frame sentinel -(T+1): slots holding the default (zero)
         # observation of a fresh episode. ids in [-T, -1] are reserved for

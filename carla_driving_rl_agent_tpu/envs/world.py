@@ -135,6 +135,15 @@ class WorldParams:
     disable_reverse: bool = True
     max_timesteps: int = 512
     num_waypoints_for_feature: int = 5
+    # append a signed lateral-offset scalar to the navigation feature
+    # (DEVIATION, opt-in: the reference obs has no explicit lateral cue —
+    # core/carla_env.py:366-382.  Every published failure mode is an
+    # UNCORRECTED mid-segment lateral drift at speed, evaluation/
+    # diagnose.py; waypoint DISTANCES barely move as the car slides
+    # sideways toward the road edge, so the policy cannot see the error it
+    # must steer against.  Changes the navigation dim -> checkpoints are
+    # not interchangeable across this flag.)
+    lateral_obs: bool = False
     num_routes: int = 128
     max_route_len: int = 512
     origin_spawns: Optional[Tuple[int, ...]] = None   # fixed origin set (stage s1/s2)
@@ -467,8 +476,24 @@ def navigation_features(state: WorldState, params: WorldParams,
     offs = jnp.minimum(jnp.arange(amount), rem - 1)
     w_xy = tgather(routes.xy, state.town_id, state.route_id, state.wp_idx + offs)
     pos = jnp.stack([state.x, state.y])
-    return _route_fns["next_waypoint_distances"](
+    dists = _route_fns["next_waypoint_distances"](
         w_xy, rem, jnp.zeros((), jnp.int32), pos, amount)
+    if not params.lateral_obs:      # static: parity default unchanged
+        return dists
+    # signed lateral offset from the current route segment (w0 -> w1),
+    # positive = LEFT of the direction of travel, normalized by a 3 m
+    # half-road scale and clipped — see WorldParams.lateral_obs
+    d = w_xy[1] - w_xy[0]
+    rel = pos - w_xy[0]
+    cross = d[0] * rel[1] - d[1] * rel[0]
+    lat = cross / jnp.maximum(jnp.linalg.norm(d), 1e-6)
+    lat = jnp.clip(lat / 3.0, -3.0, 3.0)
+    return jnp.concatenate([dists, lat[None]])
+
+
+def nav_feature_dim(params: WorldParams) -> int:
+    """Static length of the navigation feature vector."""
+    return params.num_waypoints_for_feature + (1 if params.lateral_obs else 0)
 
 
 def vector_observation(state: WorldState, params: WorldParams, town: TownDev,

@@ -133,7 +133,7 @@ SAFE_ENV = dict(off_road_penalty_divisor=5.0,   # off-road exit costs 200
 def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
                block: bool = False, weights_dir: str = "weights",
                sharp: bool = False, aug_intensity: float = None,
-               fast: bool = True, safe: bool = False):
+               fast: bool = True, safe: bool = False, lateral: bool = False):
     common = dict(episodes=EPISODES, timesteps=TIMESTEPS, batch_size=BATCH,
                   num_envs=num_envs, save_every="end",
                   rollout_block=block, weights_dir=weights_dir)
@@ -141,6 +141,8 @@ def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
         common.update(FAST_TRAIN)
     if safe:
         common["env_overrides"] = dict(SAFE_ENV)
+    if lateral:
+        common.setdefault("env_overrides", {})["lateral_obs"] = True
     if sharp:
         common.update(sharp_recipe())
         # measured on the v3 chain (round 2): full-strength update-time
@@ -180,7 +182,7 @@ def hand_off(src_stage: str, dst_stage: str, weights_dir: str = "weights"):
 def run_curriculum(epochs, num_envs: int = NUM_ENVS,
                    block: bool = False, weights_dir: str = "weights",
                    sharp: bool = False, fast: bool = True,
-                   safe: bool = False):
+                   safe: bool = False, lateral: bool = False):
     """epochs: an int (same for every stage) or a per-stage list
     "e1,e2,e3,e4,e5" (the original on-TPU curriculum used 30,16,12,10,10)."""
     if isinstance(epochs, str) and "," in epochs:
@@ -196,7 +198,7 @@ def run_curriculum(epochs, num_envs: int = NUM_ENVS,
         t0 = _time.perf_counter()
         stage = make_stage(which, per_stage[i], num_envs, block=block,
                            weights_dir=weights_dir, sharp=sharp, fast=fast,
-                           safe=safe)
+                           safe=safe, lateral=lateral)
         stage.run2(epochs=per_stage[i], copy_weights=False)
         print(f"=== stage-{which} done in {_time.perf_counter() - t0:.1f} s ===",
               flush=True)
@@ -265,6 +267,11 @@ if __name__ == "__main__":
     parser.add_argument("--safe", action="store_true",
                         help="safety-shaped env pricing from stage-1 "
                              "(off-road x20, 15 km/h reward cap — SAFE_ENV)")
+    parser.add_argument("--lateral", action="store_true",
+                        help="append the signed lateral-offset scalar to the "
+                             "navigation obs (WorldParams.lateral_obs; "
+                             "checkpoints are NOT interchangeable across "
+                             "this flag)")
     parser.add_argument("--slow", action="store_true",
                         help="reference-shaped sequential two-phase trainer "
                              "(disables the fused update — FAST_TRAIN)")
@@ -280,7 +287,8 @@ if __name__ == "__main__":
     if args.curriculum:
         run_curriculum(args.epochs, args.num_envs, block=args.block,
                        weights_dir=args.weights_dir, sharp=args.sharp,
-                       fast=not args.slow, safe=args.safe)
+                       fast=not args.slow, safe=args.safe,
+                       lateral=args.lateral)
     elif args.standard:
         run_standard(int(args.epochs), args.num_envs, sharp=args.sharp,
                      stage_name=("stage-standard-sharp" if args.sharp
@@ -290,7 +298,8 @@ if __name__ == "__main__":
         make_stage(args.stage, int(args.epochs), args.num_envs, block=args.block,
                    weights_dir=args.weights_dir, sharp=args.sharp,
                    aug_intensity=args.aug_intensity,
-                   fast=not args.slow, safe=args.safe).run2(epochs=int(args.epochs))
+                   fast=not args.slow, safe=args.safe,
+                   lateral=args.lateral).run2(epochs=int(args.epochs))
     elif args.evaluate:
         run_evaluation(weights=args.weights, trials=args.trials)
     elif args.record:

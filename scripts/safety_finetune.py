@@ -42,7 +42,8 @@ NAME = "safe-s5"   # default; overridden by --name
 
 def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
           over_cap: float = 0.0, name: str = NAME, fast: bool = True,
-          traffic: str = "regular", fast_cfg: dict = None):
+          traffic: str = "regular", fast_cfg: dict = None,
+          lateral: bool = False):
     from main import (sharp_recipe, FAST_TRAIN, EPISODES, TIMESTEPS, BATCH,
                       acquire_run_lock)
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
@@ -67,13 +68,14 @@ def train(epochs: int, tiny: bool, source: str, cap: float, divisor: float,
         stage_name=name, save_every="end",
         env_overrides=dict(off_road_penalty_divisor=divisor,
                            reward_speed_cap=cap,
-                           speed_over_cap_penalty=over_cap),
+                           speed_over_cap_penalty=over_cap,
+                           **(dict(lateral_obs=True) if lateral else {})),
         **((fast_cfg if fast_cfg is not None else FAST_TRAIN) if fast else {}),
         **sharp_recipe())
     stage.run2(epochs=1 if tiny else epochs, copy_weights=False)
 
 
-def gate(tiny: bool, name: str = NAME):
+def gate(tiny: bool, name: str = NAME, lateral: bool = False):
     from carla_driving_rl_agent_tpu.curriculum import stages as learning
 
     trials = 4 if tiny else 50
@@ -82,7 +84,9 @@ def gate(tiny: bool, name: str = NAME):
     for traffic in ("no",) if tiny else ("no", "regular", "dense"):
         learning.evaluate(mode="train", town="Town03", seeds=[42],
                           traffic=traffic, steps=steps, trials=trials,
-                          weights=name, num_envs=max(8, trials))
+                          weights=name, num_envs=max(8, trials),
+                          env_overrides=(dict(lateral_obs=True)
+                                         if lateral else None))
         f = (f"weights/{name}/evaluation/{name}-train-{steps}-{trials}-"
              f"Town03-{traffic}-42.json")
         d = json.load(open(f))
@@ -134,6 +138,10 @@ if __name__ == "__main__":
                     help="add fused_units=True (fused Pallas ShuffleUnit "
                          "backbone) — round-4 quality-gate probe for the "
                          "kernel before it can enter FAST_TRAIN")
+    ap.add_argument("--lateral", action="store_true",
+                    help="source checkpoint was trained with the lateral-"
+                         "offset obs (WorldParams.lateral_obs): fine-tune "
+                         "and gate with the same env flag")
     args = ap.parse_args()
     if args.tiny:
         import jax
@@ -154,5 +162,6 @@ if __name__ == "__main__":
             fast_cfg["fused_units"] = True
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
               over_cap=args.over_cap, name=args.name, fast=not args.slow,
-              traffic=args.traffic, fast_cfg=fast_cfg)
-    print(json.dumps({"gate": gate(args.tiny, name=args.name)}), flush=True)
+              traffic=args.traffic, fast_cfg=fast_cfg, lateral=args.lateral)
+    print(json.dumps({"gate": gate(args.tiny, name=args.name,
+                                   lateral=args.lateral)}), flush=True)

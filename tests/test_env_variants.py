@@ -203,3 +203,54 @@ class TestKeyboardTeleop:
         monkeypatch.setattr(pygame.event, "get", fake_get)
         out = wrapper.keyboard(timesteps=32)
         assert out["timesteps"] <= 32
+
+
+class TestLateralObs:
+    """WorldParams.lateral_obs (opt-in deviation): a signed lateral-offset
+    scalar appended to the navigation feature — the cue against the
+    diagnosed uncorrected-lateral-drift failure mode."""
+
+    @pytest.fixture(scope="class")
+    def lat_env(self):
+        return CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02",), num_routes=8,
+                              max_route_len=256, max_timesteps=32,
+                              lateral_obs=True),
+            image_height=48, image_width=32, render_mode="zeros"))
+
+    def test_spaces_and_shapes(self, lat_env):
+        assert lat_env.observation_space["navigation"].shape == (6,)
+        state, obs = lat_env.reset(jax.random.PRNGKey(0))
+        assert obs["navigation"].shape[-1] == 6
+        assert np.all(np.isfinite(np.asarray(obs["navigation"])))
+
+    def test_sign_and_magnitude(self, lat_env):
+        from carla_driving_rl_agent_tpu.envs import world as world_mod
+        from carla_driving_rl_agent_tpu.envs.world import tgather
+        state, _ = lat_env.reset(jax.random.PRNGKey(3))
+        w = state.world
+        routes = lat_env.routes
+        offs = jnp.arange(2)
+        w_xy = tgather(routes.xy, w.town_id, w.route_id, w.wp_idx + offs)
+        d = np.asarray(w_xy[1] - w_xy[0])
+        d = d / max(np.linalg.norm(d), 1e-6)
+        left = np.array([-d[1], d[0]])        # +90 deg: left of travel
+
+        def lat_of(wx, wy):
+            ws = w._replace(x=jnp.asarray(wx), y=jnp.asarray(wy))
+            nav = world_mod.navigation_features(ws, lat_env.params, routes)
+            return float(nav[-1])
+
+        x0, y0 = float(w_xy[0][0]), float(w_xy[0][1])
+        assert abs(lat_of(x0, y0)) < 1e-5                      # on the line
+        l_plus = lat_of(x0 + 1.5 * left[0], y0 + 1.5 * left[1])
+        l_minus = lat_of(x0 - 1.5 * left[0], y0 - 1.5 * left[1])
+        np.testing.assert_allclose(l_plus, 1.5 / 3.0, atol=1e-5)
+        np.testing.assert_allclose(l_minus, -1.5 / 3.0, atol=1e-5)
+
+    def test_default_env_unchanged(self):
+        plain = CARLAEnv(CARLAEnvConfig(
+            world=WorldParams(town_names=("Town02",), num_routes=8,
+                              max_route_len=256, max_timesteps=32),
+            image_height=48, image_width=32, render_mode="zeros"))
+        assert plain.observation_space["navigation"].shape == (5,)
