@@ -825,7 +825,12 @@ def _layout(n, h, w, c):
 
 def supports(h: int, w: int, c: int) -> bool:
     """True when SOME fused plan (sample-aligned or halo-tiled) covers the
-    feature-map geometry — the caller-facing gate (models/shufflenet.py)."""
+    feature-map geometry — the caller-facing gate (models/shufflenet.py).
+    CDRL_PUNIT_NO_HALO=1 restores the round-4 behavior (halo-needing
+    stages fall back to flax — fault bisection knob)."""
+    import os
+    if os.environ.get("CDRL_PUNIT_NO_HALO"):
+        return fits_vmem(h, w, c)
     return fits_vmem(h, w, c) or _halo_plan(1, h, w, c) is not None
 
 
@@ -1008,7 +1013,11 @@ def _default_interpret():
 def _default_mxu(interpret) -> bool:
     """bf16-pass MXU matmuls by default on real TPU (matches flax/XLA's
     default matmul precision there — see _mdot); f32 in interpret mode so
-    CPU parity tests compare exactly against flax's f32 CPU matmuls."""
+    CPU parity tests compare exactly against flax's f32 CPU matmuls.
+    CDRL_PUNIT_F32=1 forces f32 passes everywhere (fault bisection knob)."""
+    import os
+    if os.environ.get("CDRL_PUNIT_F32"):
+        return False
     return not interpret
 
 
