@@ -110,13 +110,25 @@ def sharp_recipe() -> dict:
 #
 # Both remain available as config/bench levers (fused_update=True,
 # compute_dtype="bfloat16"; scripts/bench_train_ab.py holds the matrix).
-# The active semantics-preserving speed lever is the fused Pallas
-# ShuffleUnit backbone (CARLAgentConfig.fused_units), which accelerates the
-# backbone passes of BOTH sequential phases without changing the update
-# algorithm — it enters FAST_TRAIN once its hardware quality gate is clean.
 # The default chunked dispatch (updates_per_dispatch=8, numerics identical,
 # tested) stays on.
-FAST_TRAIN = dict()
+#
+# ROUND-5 SHIPPED LEVER — two_step_update (see CARLAgentConfig): one
+# backbone forward per minibatch (jax.vjp), the linearization pulled back
+# twice, TWO separately-clipped Adam steps on the shared backbone.  This
+# keeps the per-objective normalized steps whose loss froze policies under
+# the rejected fused_update.  Measured 951.4 vs 722.3 steps/s (1.32x) at
+# the bench geometry with first-update metrics matching sequential to
+# <1e-3 (logs/r5-ab-bisect.log); policy updates provably identical at
+# single-minibatch geometry (tests/test_agent.py TestTwoStepUpdate);
+# full-chain Town03 gate: logs/r5-fast2-*.log.
+# The fused Pallas ShuffleUnit backbone (fused_units) is NOT shipped:
+# round-5 hardware status is (a) the halo-tiled kernels fault the TPU
+# worker inside the real train program despite passing every standalone
+# shape probe (logs/r5-punit-real.log vs r5-knob-bisect.log), and (b) the
+# sample-mode-only config measures 602.9 — SLOWER than the 722.3 flax
+# baseline.
+FAST_TRAIN = dict(two_step_update=True)
 
 # Safety-shaped env pricing (--safe): the round-3/4 "safe" recipe's two
 # env knobs (scripts/safety_finetune.py) applied FROM STAGE-1 instead of as
