@@ -113,22 +113,26 @@ def sharp_recipe() -> dict:
 # The default chunked dispatch (updates_per_dispatch=8, numerics identical,
 # tested) stays on.
 #
-# ROUND-5 SHIPPED LEVER — two_step_update (see CARLAgentConfig): one
-# backbone forward per minibatch (jax.vjp), the linearization pulled back
-# twice, TWO separately-clipped Adam steps on the shared backbone.  This
-# keeps the per-objective normalized steps whose loss froze policies under
-# the rejected fused_update.  Measured 951.4 vs 722.3 steps/s (1.32x) at
-# the bench geometry with first-update metrics matching sequential to
-# <1e-3 (logs/r5-ab-bisect.log); policy updates provably identical at
-# single-minibatch geometry (tests/test_agent.py TestTwoStepUpdate);
-# full-chain Town03 gate: logs/r5-fast2-*.log.
-# The fused Pallas ShuffleUnit backbone (fused_units) is NOT shipped:
-# round-5 hardware status is (a) the halo-tiled kernels fault the TPU
-# worker inside the real train program despite passing every standalone
-# shape probe (logs/r5-punit-real.log vs r5-knob-bisect.log), and (b) the
-# sample-mode-only config measures 602.9 — SLOWER than the 722.3 flax
-# baseline.
-FAST_TRAIN = dict(two_step_update=True)
+# ROUND-5 REJECTED LEVER — two_step_update (see CARLAgentConfig): one
+# backbone forward per minibatch (jax.vjp) pulled back twice, two
+# separately-clipped Adam steps on the shared backbone.  Measured 951.4
+# vs 722.3 steps/s (1.32x) with first-update metrics matching sequential
+# to <1e-3 (logs/r5-ab-bisect.log) and provably identical policy updates
+# at single-minibatch geometry — but the FULL-CHAIN Town03 gate failed:
+# 0.80/0.90/0.88 collision after the safety fine-tune vs the sequential
+# chain's 0.26/0.48 (logs/r5-fast2-finetune.log).  Suspected mechanism:
+# interleaving the small policy-phase and large value-phase gradients
+# through ONE shared backbone Adam state keeps the second moment pinned
+# at value-grad scale, muting every policy step — sequential's
+# phase-ordered stream lets the moments adapt down during the policy
+# phase.  A per-phase-Adam-state variant (two_step_split_adam) is the
+# candidate fix; it must pass a FULL-CHAIN gate before FAST_TRAIN flips.
+# The fused Pallas ShuffleUnit backbone (fused_units) is also NOT
+# shipped: the halo-tiled kernels fault the TPU worker inside the real
+# train program despite passing every standalone shape probe
+# (logs/r5-punit-real.log vs r5-knob-bisect.log), and the
+# sample-mode-only config measures 602.9 < the 722.3 flax baseline.
+FAST_TRAIN = dict()
 
 # Safety-shaped env pricing (--safe): the round-3/4 "safe" recipe's two
 # env knobs (scripts/safety_finetune.py) applied FROM STAGE-1 instead of as
