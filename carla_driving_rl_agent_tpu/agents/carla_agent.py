@@ -101,6 +101,19 @@ class CARLAgentConfig:
     # sees post-policy-phase params); one BN-stats fold per minibatch
     # instead of two.  Mutually exclusive with fused_update.
     two_step_update: bool = False
+    # two_step_update with PER-PHASE backbone Adam states (the round-5
+    # full-chain gate failure fix candidate): the shared backbone keeps two
+    # independent optimizer states, one fed only by policy-phase gradients,
+    # one only by value-phase gradients.  Rationale: two_step_update's
+    # interleaved stream through ONE Adam state keeps the second moment at
+    # value-grad scale, muting every policy step; the sequential reference
+    # adapts its moments within each phase (256 consecutive same-kind
+    # steps).  Split states reproduce that per-stream normalization
+    # continuously; the remaining deviation from sequential is step order
+    # (interleaved vs phased), which near-commutes for small normalized
+    # steps.  Implies the two_step machinery; opt_state["dynamics"]
+    # becomes a (policy_phase, value_phase) tuple.
+    two_step_split_adam: bool = False
     # how many train updates run inside ONE jitted program (lax.scan over
     # per-update key/hyper/lr arrays — _build_train_chunk_fn).  Identical
     # numerics to per-update dispatch; amortizes the remote-attached
@@ -175,8 +188,9 @@ class CARLAgent:
         self.summary = Summary(mode=log_mode, name=name)
 
         cfg = self.config
-        assert not (cfg.fused_update and cfg.two_step_update), \
-            "fused_update and two_step_update are mutually exclusive"
+        assert not (cfg.fused_update and (cfg.two_step_update
+                                          or cfg.two_step_split_adam)), \
+            "fused_update and two_step_update/_split_adam are mutually exclusive"
         net_spec = dict(cfg.network or {})
         self.network = CARLANetwork(
             num_actions=env.config.num_actions,
@@ -210,7 +224,10 @@ class CARLAgent:
         self.opt_state = dict(
             policy=self.policy_opt.init(self.params["policy"]),
             value=self.value_opt.init(self.params["value"]),
-            dynamics=self.dynamics_opt.init(self.params["dynamics"]),
+            dynamics=((self.dynamics_opt.init(self.params["dynamics"]),
+                       self.dynamics_opt.init(self.params["dynamics"]))
+                      if cfg.two_step_split_adam
+                      else self.dynamics_opt.init(self.params["dynamics"])),
         )
 
         self.update_step = 0
@@ -575,8 +592,9 @@ class CARLAgent:
                 )
                 return params, stats, opt_state, env_states, key, metrics
 
-            # ---- shared-forward two-step updates (see two_step_update) ----
-            if cfg.two_step_update:
+            # ---- shared-forward two-step updates (see two_step_update /
+            # two_step_split_adam) ----
+            if cfg.two_step_update or cfg.two_step_split_adam:
                 perm = jax.random.permutation(k_shuffle_p, S * B)
 
                 def two_step_minibatch(carry, mb_idx):
@@ -629,7 +647,20 @@ class CARLAgent:
                     new_params["policy"] = new_policy
                     new_params["value"] = new_value
                     opt_d = opt_state["dynamics"]
-                    if cfg.update_dynamics:
+                    if cfg.update_dynamics and cfg.two_step_split_adam:
+                        # per-phase Adam states: each gradient stream keeps
+                        # its own moment estimates, reproducing the
+                        # sequential phases' within-phase normalization
+                        dyn = params["dynamics"]
+                        opt_d_p, opt_d_v = opt_d
+                        ud, opt_d_p = self.dynamics_opt.update(g_dyn_p,
+                                                               opt_d_p, dyn)
+                        dyn = optax.apply_updates(dyn, ud)
+                        ud, opt_d_v = self.dynamics_opt.update(g_dyn_v,
+                                                               opt_d_v, dyn)
+                        new_params["dynamics"] = optax.apply_updates(dyn, ud)
+                        opt_d = (opt_d_p, opt_d_v)
+                    elif cfg.update_dynamics:
                         # TWO separately-clipped Adam steps on the shared
                         # backbone, in the sequential phases' order — the
                         # policy head keeps its own normalized step

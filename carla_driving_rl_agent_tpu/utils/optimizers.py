@@ -99,6 +99,11 @@ def with_learning_rate(opt_state, learning_rate):
     optimizer state with the injected learning rate replaced.  Used inside
     the chunked train program, where the per-update lr arrives as a traced
     scalar (agents/carla_agent._build_train_chunk_fn)."""
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams") \
+            and not hasattr(opt_state, "_fields"):
+        # per-phase split states (CARLAgentConfig.two_step_split_adam):
+        # inject the lr into every member
+        return tuple(with_learning_rate(s, learning_rate) for s in opt_state)
     if hasattr(opt_state, "hyperparams"):
         return opt_state._replace(
             hyperparams=dict(opt_state.hyperparams,

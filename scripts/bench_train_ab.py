@@ -108,6 +108,8 @@ VARIANTS = {
     # fused_update's summed-gradient policy-starvation mechanism)
     "twostep-f32": dict(two_step_update=True),
     "twostep-f32-punit": dict(two_step_update=True, fused_units=True),
+    # per-phase backbone Adam states — the chain-gate-failure fix candidate
+    "twostep-split-f32": dict(two_step_split_adam=True),
 }
 
 

@@ -186,6 +186,31 @@ class TestTwoStepUpdate:
                         jax.tree_util.tree_leaves(two.params["dynamics"])):
             assert np.all(np.isfinite(np.asarray(b)))
 
+    def test_split_adam_variant(self, tiny_env, tmp_path_factory):
+        """two_step_split_adam: per-phase backbone Adam states.  The policy
+        path is untouched (still matches sequential at single-minibatch
+        geometry); opt_state['dynamics'] is a (policy, value) state pair."""
+        cfg = CARLAgentConfig(num_envs=2, rollout_steps=4, batch_size=8,
+                              network=TINY_NET, seed=11,
+                              two_step_split_adam=True,
+                              updates_per_dispatch=1)
+        ag = CARLAgent(tiny_env, cfg, name="twostep-split", log_mode=None,
+                       weights_dir=str(tmp_path_factory.mktemp("w")))
+        assert isinstance(ag.opt_state["dynamics"], tuple) \
+            and len(ag.opt_state["dynamics"]) == 2
+        seq = self._agent(tiny_env, tmp_path_factory, two_step=False)
+        _, h_seq = seq.learn(num_updates=1)
+        _, h = ag.learn(num_updates=1)
+        for k in ("loss_policy", "entropy", "ratio", "kl"):
+            assert np.isclose(h_seq[0][k], h[0][k], rtol=1e-4, atol=1e-5), \
+                (k, h_seq[0][k], h[0][k])
+        for a, b in zip(jax.tree_util.tree_leaves(seq.params["policy"]),
+                        jax.tree_util.tree_leaves(ag.params["policy"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        d0 = jax.tree_util.tree_leaves(ag.params["dynamics"])[0]
+        assert np.all(np.isfinite(np.asarray(d0)))
+
 
 class TestFusedUpdateParity:
     """Numerical fused-vs-sequential agreement (the gate for shipping
