@@ -149,12 +149,17 @@ SAFE_ENV = dict(off_road_penalty_divisor=5.0,   # off-road exit costs 200
 def make_stage(which: str, epochs: int, num_envs: int = NUM_ENVS,
                block: bool = False, weights_dir: str = "weights",
                sharp: bool = False, aug_intensity: float = None,
-               fast: bool = True, safe: bool = False, lateral: bool = False):
+               fast: bool = True, safe: bool = False, lateral: bool = False,
+               probe_cfg: dict = None):
     common = dict(episodes=EPISODES, timesteps=TIMESTEPS, batch_size=BATCH,
                   num_envs=num_envs, save_every="end",
                   rollout_block=block, weights_dir=weights_dir)
     if fast:
         common.update(FAST_TRAIN)
+    if probe_cfg:
+        # candidate trainer config under full-chain gate (NOT shipped —
+        # FAST_TRAIN flips only after the gate passes)
+        common.update(probe_cfg)
     if safe:
         common["env_overrides"] = dict(SAFE_ENV)
     if lateral:
@@ -198,7 +203,8 @@ def hand_off(src_stage: str, dst_stage: str, weights_dir: str = "weights"):
 def run_curriculum(epochs, num_envs: int = NUM_ENVS,
                    block: bool = False, weights_dir: str = "weights",
                    sharp: bool = False, fast: bool = True,
-                   safe: bool = False, lateral: bool = False):
+                   safe: bool = False, lateral: bool = False,
+                   probe_cfg: dict = None):
     """epochs: an int (same for every stage) or a per-stage list
     "e1,e2,e3,e4,e5" (the original on-TPU curriculum used 30,16,12,10,10)."""
     if isinstance(epochs, str) and "," in epochs:
@@ -214,7 +220,7 @@ def run_curriculum(epochs, num_envs: int = NUM_ENVS,
         t0 = _time.perf_counter()
         stage = make_stage(which, per_stage[i], num_envs, block=block,
                            weights_dir=weights_dir, sharp=sharp, fast=fast,
-                           safe=safe, lateral=lateral)
+                           safe=safe, lateral=lateral, probe_cfg=probe_cfg)
         stage.run2(epochs=per_stage[i], copy_weights=False)
         print(f"=== stage-{which} done in {_time.perf_counter() - t0:.1f} s ===",
               flush=True)
@@ -283,6 +289,10 @@ if __name__ == "__main__":
     parser.add_argument("--safe", action="store_true",
                         help="safety-shaped env pricing from stage-1 "
                              "(off-road x20, 15 km/h reward cap — SAFE_ENV)")
+    parser.add_argument("--probe-cfg", default=None,
+                        help="JSON dict of CARLAgentConfig overrides for a "
+                             "full-chain gate of a NON-shipped candidate "
+                             "(e.g. '{\"two_step_split_adam\": true}')")
     parser.add_argument("--lateral", action="store_true",
                         help="append the signed lateral-offset scalar to the "
                              "navigation obs (WorldParams.lateral_obs; "
@@ -300,11 +310,14 @@ if __name__ == "__main__":
     if args.curriculum or args.standard or args.stage:
         acquire_run_lock(args.weights_dir)
 
+    import json as _json
+    probe_cfg = _json.loads(args.probe_cfg) if args.probe_cfg else None
+
     if args.curriculum:
         run_curriculum(args.epochs, args.num_envs, block=args.block,
                        weights_dir=args.weights_dir, sharp=args.sharp,
                        fast=not args.slow, safe=args.safe,
-                       lateral=args.lateral)
+                       lateral=args.lateral, probe_cfg=probe_cfg)
     elif args.standard:
         run_standard(int(args.epochs), args.num_envs, sharp=args.sharp,
                      stage_name=("stage-standard-sharp" if args.sharp

@@ -138,6 +138,9 @@ if __name__ == "__main__":
                     help="add fused_units=True (fused Pallas ShuffleUnit "
                          "backbone) — round-4 quality-gate probe for the "
                          "kernel before it can enter FAST_TRAIN")
+    ap.add_argument("--two-step-split", action="store_true",
+                    help="add two_step_split_adam=True — round-5 full-chain "
+                         "gate candidate (per-phase backbone Adam states)")
     ap.add_argument("--lateral", action="store_true",
                     help="source checkpoint was trained with the lateral-"
                          "offset obs (WorldParams.lateral_obs): fine-tune "
@@ -160,6 +163,8 @@ if __name__ == "__main__":
             fast_cfg["fused_update"] = True
         if args.punit:
             fast_cfg["fused_units"] = True
+        if args.two_step_split:
+            fast_cfg["two_step_split_adam"] = True
         train(args.epochs, args.tiny, args.source, args.cap, args.divisor,
               over_cap=args.over_cap, name=args.name, fast=not args.slow,
               traffic=args.traffic, fast_cfg=fast_cfg, lateral=args.lateral)
