@@ -237,9 +237,10 @@ class CARLAgent:
 
     # ------------------------------------------------------------------
     def _sample_net_input(self, batch: int = 1) -> dict:
+        from carla_driving_rl_agent_tpu.envs import world as world_mod
         T = self.env.config.time_horizon
         H, W, C = self.env.config.image_shape
-        n = self.env.params.num_waypoints_for_feature
+        n = world_mod.nav_feature_dim(self.env.params)
         return dict(
             state_image=jnp.zeros((batch, T, H, W, C)),
             state_road=jnp.zeros((batch, T, 9)),

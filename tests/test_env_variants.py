@@ -254,3 +254,26 @@ class TestLateralObs:
                               max_route_len=256, max_timesteps=32),
             image_height=48, image_width=32, render_mode="zeros"))
         assert plain.observation_space["navigation"].shape == (5,)
+
+    def test_agent_init_with_lateral(self, lat_env):
+        """Round-5 regression: CARLAgent._sample_net_input must size the
+        navigation input from nav_feature_dim, not the waypoint count —
+        the lateral chain crashed at the first predict otherwise."""
+        from carla_driving_rl_agent_tpu.agents.carla_agent import (
+            CARLAgent, CARLAgentConfig)
+        import tempfile
+        cfg = CARLAgentConfig(num_envs=2, rollout_steps=4, batch_size=8,
+                              network=dict(
+                                  control_policy=dict(units=16, num_layers=1),
+                                  control_value=dict(units=16, num_layers=1),
+                                  dynamics=dict(
+                                      shufflenet=dict(g=0.5, last_channels=32),
+                                      rnn=dict(image=16, road=8, vehicle=8,
+                                               navigation=8),
+                                      dynamics=dict(units=16))), seed=3)
+        ag = CARLAgent(lat_env, cfg, name="lat-agent", log_mode=None,
+                       weights_dir=tempfile.mkdtemp())
+        k = ag.params["dynamics"]["FeatureNet_2"]["Dense_0"]["kernel"]
+        assert k.shape[0] == 6, k.shape
+        _, hist = ag.learn(num_updates=1)
+        assert np.isfinite(hist[0]["loss_policy"])
