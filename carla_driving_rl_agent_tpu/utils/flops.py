@@ -88,17 +88,24 @@ def carla_predict_flops(image_hw=(90, 360), time_horizon: int = 4,
 
 def train_chunk_flops(num_updates: int, rollout_steps: int, num_envs: int,
                       opt_steps=(1, 1), fused_update: bool = False,
+                      two_step: bool = False,
                       predict_flops: float = None, **predict_kw) -> float:
     """Analytic FLOPs of one `num_updates`-update train chunk
     (agents/carla_agent._train_update): per update, a rollout of
     rollout_steps x num_envs inference forwards plus the minibatch SGD
     phase over all samples — backward ~= 2x forward, so each optimized
     sample costs ~3x a forward; the sequential (shipped) trainer runs the
-    policy and value phases as separate fwd+bwd passes."""
+    policy and value phases as separate fwd+bwd passes; two_step shares
+    one forward but still runs both backwards (~5x a forward)."""
     if predict_flops is None:
         predict_flops = carla_predict_flops(**predict_kw)
     samples = rollout_steps * num_envs
     rollout = samples * predict_flops
-    phases = opt_steps[0] if fused_update else (opt_steps[0] + opt_steps[1])
-    update = phases * samples * 3.0 * predict_flops
+    if fused_update:
+        per_sample = 3.0 * opt_steps[0]
+    elif two_step:
+        per_sample = 5.0 * opt_steps[0]
+    else:
+        per_sample = 3.0 * (opt_steps[0] + opt_steps[1])
+    update = per_sample * samples * predict_flops
     return num_updates * (rollout + update)
