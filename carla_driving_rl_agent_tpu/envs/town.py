@@ -39,6 +39,13 @@ DISTANCE_RES = 1.0         # m / texel of the distance-to-road field
 CELL_RES = 20.0            # m / cell of the nearest-entity lookup tables
 CELL_K_SEG = 24            # nearest segments cached per cell (full-quality K)
 CELL_K_BLD = 16            # nearest buildings cached per cell
+# per-cell PACKED geometry (bank-build-time materialization of the render
+# pack's static prefix; must match ops/rasterizer_pallas.py K budgets)
+PACK_K_SEG = 12            # render kernel's unrolled segment budget
+PACK_K_BLD = 8             # render kernel's unrolled building budget
+PACK_K_JUNC = 4            # render kernel's unrolled junction budget
+CELL_SEGS_DIM = CELL_K_SEG * 4                              # 96
+CELL_GEOM_DIM = PACK_K_SEG * 4 + PACK_K_BLD * 5 + PACK_K_JUNC * 2  # 96
 
 # semantic classes (rasterizer palette indexes)
 CLASS_TERRAIN = 0
@@ -657,6 +664,12 @@ class TownBank:
     road_half: np.ndarray        # (T,) road band half-width (meters)
     seg_cells: np.ndarray        # (T, GHmax, GWmax, CELL_K_SEG) int32
     bld_cells: np.ndarray        # (T, GHmax, GWmax, CELL_K_BLD) int32
+    # Packed per-cell geometry, materialized at bank build so the per-world
+    # per-step device lookups are ONE contiguous row gather instead of a
+    # chain of dependent index gathers (TPU gathers run ~1 element/cycle;
+    # the dependent two-level form was the measured pack/off-road cost):
+    cell_segs: np.ndarray        # (T, GHmax, GWmax, CELL_K_SEG*4) f32 seg endpoints
+    cell_geom: np.ndarray        # (T, GHmax, GWmax, CELL_GEOM_DIM) f32 render prefix
 
 
 def _pad_to(arr: np.ndarray, n: int, fill=0):
@@ -694,6 +707,14 @@ def build_town_bank(names: List[str]) -> TownBank:
                       ((0, dh - t.dist_field.shape[0]), (0, dw - t.dist_field.shape[1])),
                       constant_values=1e4).astype(np.float16)
 
+    seg_cells_s = np.stack([_pad_cells(t.seg_cells, gh_m, gw_m) for t in towns])
+    bld_cells_s = np.stack([_pad_cells(t.bld_cells, gh_m, gw_m) for t in towns])
+    edges_s = np.stack([_pad_to(t.edges_xy, n_e, 1e6) for t in towns])
+    blds_s = np.stack([_pad_to(t.buildings, n_b) for t in towns])
+    juncs_s = np.stack([_pad_to(t.junction_xy, n_j) for t in towns])
+    cell_segs, cell_geom = _packed_cell_tables(
+        towns, seg_cells_s, bld_cells_s, edges_s, blds_s, juncs_s)
+
     return TownBank(
         names=list(names),
         wp_xy=np.stack([_pad_to(t.wp_xy, n_wp) for t in towns]),
@@ -707,7 +728,7 @@ def build_town_bank(names: List[str]) -> TownBank:
         wp_left=np.stack([_pad_to(t.wp_left, n_wp, -1) for t in towns]),
         wp_right=np.stack([_pad_to(t.wp_right, n_wp, -1) for t in towns]),
         num_wp=np.asarray([len(t.wp_xy) for t in towns], np.int32),
-        junction_xy=np.stack([_pad_to(t.junction_xy, n_j) for t in towns]),
+        junction_xy=juncs_s,
         junction_phase=np.stack([_pad_to(t.junction_phase, n_j) for t in towns]),
         num_junctions=np.asarray([len(t.junction_xy) for t in towns], np.int32),
         spawn_xy=np.stack([_pad_to(t.spawn_xy, n_s) for t in towns]),
@@ -718,12 +739,57 @@ def build_town_bank(names: List[str]) -> TownBank:
         texture_scale=TEXTURE_RES,
         dist_field=np.stack([pad_dist(t) for t in towns]),
         dist_scale=DISTANCE_RES,
-        buildings=np.stack([_pad_to(t.buildings, n_b) for t in towns]),
+        buildings=blds_s,
         num_buildings=np.asarray([len(t.buildings) for t in towns], np.int32),
-        edges_xy=np.stack([_pad_to(t.edges_xy, n_e, 1e6) for t in towns]),
+        edges_xy=edges_s,
         num_edges=np.asarray([len(t.edges_xy) for t in towns], np.int32),
         extent=np.asarray([t.extent for t in towns], np.float32),
         road_half=np.asarray([t.road_half for t in towns], np.float32),
-        seg_cells=np.stack([_pad_cells(t.seg_cells, gh_m, gw_m) for t in towns]),
-        bld_cells=np.stack([_pad_cells(t.bld_cells, gh_m, gw_m) for t in towns]),
+        seg_cells=seg_cells_s,
+        bld_cells=bld_cells_s,
+        cell_segs=cell_segs,
+        cell_geom=cell_geom,
     )
+
+
+def _packed_cell_tables(towns, seg_cells_s, bld_cells_s, edges_s, blds_s,
+                        juncs_s):
+    """Materialize the per-cell packed geometry tables from the STACKED bank
+    arrays (so padded cells/indices reproduce exactly what the on-device
+    dependent gathers used to produce — edge-padded cell entries included).
+
+    cell_segs: the CELL_K_SEG candidate segments' endpoints per cell —
+      consumed by world._off_road_distance every physics step.
+    cell_geom: the render pack's static prefix (PACK_K_SEG segments +
+      PACK_K_BLD buildings + PACK_K_JUNC junctions) per cell — consumed by
+      rasterizer_pallas.pack_geometry_banked.  NOTE deviation: junctions are
+      the nearest-PACK_K_JUNC by CELL CENTER (same approximation class as
+      the seg/bld cell tables, CELL_RES/sqrt(2) ~ 14 m slack) where the old
+      per-world pack ranked them by ego position; the min-distance junction
+      — the only quantity the kernel's crossing band depends on — is in the
+      top-4-by-center whenever junction spacing exceeds the cell slack
+      (pinned by tests/test_rasterizer.py)."""
+    gh_m, gw_m = seg_cells_s.shape[1], seg_cells_s.shape[2]
+    ys, xs = np.mgrid[0:gh_m, 0:gw_m]
+    centers = np.stack([(xs + 0.5) * CELL_RES, (ys + 0.5) * CELL_RES],
+                       axis=-1).astype(np.float32)          # (GH, GW, 2)
+    cell_segs, cell_geom = [], []
+    for i, t in enumerate(towns):
+        segs_all = edges_s[i][seg_cells_s[i]]               # (GH, GW, Kseg, 4)
+        cell_segs.append(segs_all.reshape(gh_m, gw_m, -1))
+        segs12 = segs_all[..., :PACK_K_SEG, :]
+        bidx = bld_cells_s[i][..., :PACK_K_BLD]
+        b_ok = bidx < len(t.buildings)                      # always true per-town
+        blds8 = blds_s[i][bidx] * b_ok[..., None]           # (GH, GW, Kbld, 5)
+        n_j = juncs_s[i].shape[0]
+        dj = np.linalg.norm(juncs_s[i][None, None] - centers[:, :, None],
+                            axis=-1)                        # (GH, GW, Jmax)
+        dj = np.where(np.arange(n_j)[None, None] < len(t.junction_xy), dj, 1e9)
+        j4 = np.argsort(dj, axis=-1, kind="stable")[..., :PACK_K_JUNC]
+        juncs4 = juncs_s[i][j4]                             # (GH, GW, 4, 2)
+        cell_geom.append(np.concatenate([
+            segs12.reshape(gh_m, gw_m, -1),
+            blds8.reshape(gh_m, gw_m, -1),
+            juncs4.reshape(gh_m, gw_m, -1)], axis=-1))
+    return (np.stack(cell_segs).astype(np.float32),
+            np.stack(cell_geom).astype(np.float32))

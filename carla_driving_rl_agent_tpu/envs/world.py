@@ -57,16 +57,26 @@ class TownDev(NamedTuple):
     num_edges: jax.Array
     extent: jax.Array
     road_half: jax.Array
-    seg_cells: jax.Array   # (T, GH, GW, K) nearest-segment lookup (render)
-    bld_cells: jax.Array   # (T, GH, GW, K) nearest-building lookup (render)
+    cell_segs: jax.Array   # (T, GH, GW, K*4) packed per-cell seg endpoints (physics)
+    cell_geom: jax.Array   # (T, GH, GW, 96) packed per-cell render-geometry prefix
 
 
 class RoutesDev(NamedTuple):
-    """Device-resident stacked route banks: (T_towns, R, L, ...)."""
+    """Device-resident stacked route banks: (T_towns, R, L, ...).
+
+    `xyy` packs [x, y, yaw, 0] per waypoint so the per-step route-window
+    lookup is ONE contiguous row gather (the separate xy + yaw gathers were
+    a measured physics cost — TPU gathers run ~1 element/cycle).  `start`
+    and `end_xy` materialize the per-route constants ([x0, y0, yaw0, 0] and
+    the destination point) that reset_world and step_world otherwise
+    re-gather point-wise from the polyline every auto-reset/step."""
     xy: jax.Array
     yaw: jax.Array
     option: jax.Array
     length: jax.Array
+    xyy: jax.Array      # (T, R, L, 4) [x, y, yaw, 0]
+    start: jax.Array    # (T, R, 4)    [x0, y0, yaw0, 0]
+    end_xy: jax.Array   # (T, R, 2)    destination point
 
 
 class WorldState(NamedTuple):
@@ -184,8 +194,8 @@ def build_world_data(params: WorldParams) -> Tuple[TownDev, RoutesDev]:
         num_edges=jnp.asarray(bank.num_edges),
         extent=jnp.asarray(bank.extent),
         road_half=jnp.asarray(bank.road_half),
-        seg_cells=jnp.asarray(bank.seg_cells),
-        bld_cells=jnp.asarray(bank.bld_cells),
+        cell_segs=jnp.asarray(bank.cell_segs),
+        cell_geom=jnp.asarray(bank.cell_geom),
     )
     banks = []
     for name in params.town_names:
@@ -269,19 +279,23 @@ def _off_road_distance(town: TownDev, town_id, x, y):
     """Distance from the ego to the nearest road centerline (replaces UE4
     static-mesh collision).
 
-    Uses the town's nearest-segment cell table (town.CELL_RES grid, 24
-    candidates ordered by cell-center distance) instead of scanning every
-    segment: this runs EVERY physics step per world, and the candidate set
-    provably contains the true nearest segment for any position within
-    threshold distance of a road (tests/test_world.py pins equivalence).
-    Positions whose candidate distances all exceed ~CELL_RES are far
-    off-road either way — the threshold comparison is unaffected."""
+    Uses the town's PACKED nearest-segment cell table (town.CELL_RES grid,
+    24 candidate segments' endpoints materialized per cell at bank build)
+    instead of scanning every segment: this runs EVERY physics step per
+    world, and the candidate set provably contains the true nearest segment
+    for any position within threshold distance of a road
+    (tests/test_world.py pins equivalence).  Positions whose candidate
+    distances all exceed ~CELL_RES are far off-road either way — the
+    threshold comparison is unaffected.  The packed table turns the old
+    dependent two-level gather (indices, then endpoints) into ONE contiguous
+    row gather per world — TPU gathers run ~1 element/cycle, so the
+    dependent form was a measured physics cost (round-4 bench_parts
+    phys_offroad split)."""
     from carla_driving_rl_agent_tpu.envs.town import CELL_RES
-    gh, gw = town.seg_cells.shape[1], town.seg_cells.shape[2]
+    gh, gw = town.cell_segs.shape[1], town.cell_segs.shape[2]
     cx = jnp.clip((x / CELL_RES).astype(jnp.int32), 0, gw - 1)
     cy = jnp.clip((y / CELL_RES).astype(jnp.int32), 0, gh - 1)
-    idx = tgather(town.seg_cells, town_id, cy, cx)               # (K,) fused gather
-    segs = tgather(town.edges_xy, town_id, idx)                  # (K, 4)
+    segs = tgather(town.cell_segs, town_id, cy, cx).reshape(-1, 4)  # (K, 4)
     ex = segs[:, 2] - segs[:, 0]
     ey = segs[:, 3] - segs[:, 1]
     L2 = jnp.maximum(ex * ex + ey * ey, 1e-9)

@@ -49,6 +49,13 @@ _O_ROADHALF = _O_WEATHER + 5            # 169: per-town road band half-width
 GEOM_SIZE = _O_ROADHALF + 1             # 170
 GEOM_PAD = 176                          # pad to a multiple of 8
 
+# the bank-build packed prefix (envs/town.cell_geom) must cover exactly the
+# static [segs|blds|juncs] head of this layout
+from carla_driving_rl_agent_tpu.envs import town as _town  # noqa: E402
+
+assert _town.PACK_K_SEG == K_EDGES and _town.PACK_K_BLD == K_BUILDINGS
+assert _town.CELL_GEOM_DIM == _O_ACT, (_town.CELL_GEOM_DIM, _O_ACT)
+
 
 def _build_lut() -> dict:
     """Constant per-pixel tables: view-offset-rotated camera rays + pixel
@@ -344,33 +351,24 @@ def pack_geometry(inputs: R.RenderInputs) -> jax.Array:
 
 def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
     """Geometry pack straight from the stacked town bank (TownDev) + world
-    state, replacing pack_geometry's per-frame top_k over ALL segments/
-    buildings with one cell-table gather (town.seg_cells/bld_cells,
-    envs/town.CELL_RES grid, ordered by distance from the cell center).
-
-    All lookups are fused two-level gathers (arr[town_id, idx]) so nothing
-    per-town is materialized per world under vmap."""
+    state.  The whole STATIC prefix of the pack (nearest segments, buildings
+    and junctions) is materialized per CELL_RES cell at bank build
+    (town.cell_geom, envs/town._packed_cell_tables), so the per-world cost
+    here is ONE contiguous 96-float row gather + the dynamic tail (actors,
+    ego pose, weather) — replacing the old chain of dependent index gathers
+    and a per-world junction top-k (the measured pack cost, round-4
+    bench_parts rend_pack split).  Junctions are ranked by cell center
+    rather than ego position — see _packed_cell_tables for why that is
+    exact for the kernel's crossing band."""
     from carla_driving_rl_agent_tpu.envs.town import CELL_RES
     from carla_driving_rl_agent_tpu.envs.dynamics import tgather
 
     tid = world.town_id
     ego_xy = jnp.stack([world.x, world.y])
-    gh, gw = town.seg_cells.shape[1], town.seg_cells.shape[2]
+    gh, gw = town.cell_geom.shape[1], town.cell_geom.shape[2]
     cx = jnp.clip((world.x / CELL_RES).astype(jnp.int32), 0, gw - 1)
     cy = jnp.clip((world.y / CELL_RES).astype(jnp.int32), 0, gh - 1)
-
-    seg_idx = tgather(town.seg_cells, tid, cy, cx, slice(None, K_EDGES))  # (K,)
-    segs = tgather(town.edges_xy, tid, seg_idx)              # (K, 4)
-    bld_idx = tgather(town.bld_cells, tid, cy, cx, slice(None, K_BUILDINGS))
-    blds = tgather(town.buildings, tid, bld_idx)             # (K, 5)
-    # zero out padded building slots (index beyond num_buildings)
-    b_ok = bld_idx < tgather(town.num_buildings, tid)
-    blds = blds * b_ok[:, None]
-
-    j_all = tgather(town.junction_xy, tid)                   # (J, 2) small
-    j_idx = R._nearest_k(j_all, ego_xy,
-                         jnp.arange(j_all.shape[0]) < tgather(town.num_junctions, tid), 4)
-    juncs = j_all[j_idx]
+    static_prefix = tgather(town.cell_geom, tid, cy, cx)     # (96,) one gather
 
     npc = world.npc
     kv = K_ACTORS // 2
@@ -399,7 +397,7 @@ def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
             [actors, jnp.zeros((K_ACTORS - actors.shape[0], 8))], axis=0)
 
     geom = jnp.concatenate([
-        segs.reshape(-1), blds.reshape(-1), juncs.reshape(-1),
+        static_prefix.reshape(-1),        # segs(48) + blds(40) + juncs(8)
         actors.reshape(-1),
         jnp.stack([ego_xy[0], ego_xy[1],
                    jnp.cos(world.yaw), jnp.sin(world.yaw)]),

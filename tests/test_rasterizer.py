@@ -244,6 +244,42 @@ class TestBankedPallasPath:
             d_all = np.array([_seg_dist(p, s) for s in t.edges_xy])
             assert d_all.argmin() in cand, "true nearest segment not in cell table"
 
+    def test_packed_cell_tables_match_gather_semantics(self):
+        """The bank-build packed tables (town.cell_segs / cell_geom) must
+        reproduce the old on-device dependent gathers bitwise (segments,
+        buildings), and the cell-center junction ranking must always contain
+        the ego-nearest junction — which makes the render kernel's junction
+        min-distance (its only junction consumer) bitwise identical too."""
+        from carla_driving_rl_agent_tpu.envs import town as town_mod
+        bank = town_mod.build_town_bank(["Town02"])
+        gh, gw = bank.seg_cells.shape[1:3]
+
+        ref = bank.edges_xy[0][bank.seg_cells[0]].reshape(gh, gw, -1)
+        np.testing.assert_array_equal(bank.cell_segs[0],
+                                      ref.astype(np.float32))
+
+        segs12 = bank.edges_xy[0][
+            bank.seg_cells[0][..., :town_mod.PACK_K_SEG]].reshape(gh, gw, -1)
+        bidx = bank.bld_cells[0][..., :town_mod.PACK_K_BLD]
+        blds8 = (bank.buildings[0][bidx]
+                 * (bidx < bank.num_buildings[0])[..., None]).reshape(gh, gw, -1)
+        np.testing.assert_array_equal(bank.cell_geom[0][..., :48],
+                                      segs12.astype(np.float32))
+        np.testing.assert_array_equal(bank.cell_geom[0][..., 48:88],
+                                      blds8.astype(np.float32))
+
+        juncs = bank.junction_xy[0][:bank.num_junctions[0]]
+        rng = np.random.default_rng(0)
+        for cy in range(gh):
+            for cx in range(gw):
+                chosen = bank.cell_geom[0][cy, cx, 88:96].reshape(4, 2)
+                for _ in range(3):
+                    ego = (np.array([cx, cy]) + rng.random(2)) * town_mod.CELL_RES
+                    d = np.linalg.norm(juncs - ego, axis=1)
+                    nearest = juncs[d.argmin()]
+                    assert (np.abs(chosen - nearest).sum(1) < 1e-6).any(), \
+                        f"cell ({cy},{cx}): ego-nearest junction not in top-4"
+
 
 def _seg_dist(p, seg):
     p0, p1 = seg[:2], seg[2:]
