@@ -79,12 +79,16 @@ def main():
     from carla_driving_rl_agent_tpu.envs.carla_env import CARLAEnv, CARLAEnvConfig
     from carla_driving_rl_agent_tpu.envs.world import WorldParams
 
+    import os
     env = CARLAEnv(CARLAEnvConfig(
         world=WorldParams(town_names=("Town03",), num_routes=64, max_route_len=512,
                           max_timesteps=512, num_vehicles=0, num_pedestrians=0,
                           v_max=1, p_max=1),
         image_height=90, image_width=120, render_mode="pallas",
-        time_horizon=4, past_obs_freq=4))
+        time_horizon=4, past_obs_freq=4,
+        phys_unroll=int(os.environ.get("CDRL_PHYS_UNROLL", "1")),
+        block_unroll=int(os.environ.get("CDRL_BLOCK_UNROLL", "1")),
+        fused_step=bool(int(os.environ.get("CDRL_FUSED_STEP", "0")))))
     _mark("env built (town bank on host)")
 
     consts = env.consts
@@ -125,10 +129,12 @@ def main():
                     return (states, was_reset | did_reset), reward[0]
 
                 (states, was_reset), rewards = jax.lax.scan(
-                    sub, (states, jnp.zeros((NUM_WORLDS,), bool)), a_block)
+                    sub, (states, jnp.zeros((NUM_WORLDS,), bool)), a_block,
+                    unroll=env.config.phys_unroll)
                 states = env.push_block_frame_batch(states, was_reset)
                 return (states, key), rewards.sum()
-            (states, key), rewards = jax.lax.scan(body, (states, key), a_all)
+            (states, key), rewards = jax.lax.scan(body, (states, key), a_all,
+                                                  unroll=env.config.block_unroll)
             # scalar probe depending on BOTH rewards and rendered stacks, so
             # fetching it forces the full computation (remote-attached
             # backends have unreliable block_until_ready semantics).

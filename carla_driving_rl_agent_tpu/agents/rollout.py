@@ -215,7 +215,8 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
             return (states, was_reset | did_reset), rec
 
         (states, was_reset), sub = jax.lax.scan(
-            sub_step, (states, jnp.zeros((batch,), bool)), jnp.arange(block))
+            sub_step, (states, jnp.zeros((batch,), bool)), jnp.arange(block),
+            unroll=env.config.phys_unroll)
 
         states = env.push_block_frame_batch(
             states, was_reset, jnp.full((batch,), block_idx, jnp.int32))
@@ -230,7 +231,8 @@ def run_rollout_blocks(env: CARLAEnv, predict_fn: Callable,
         return (states, key), record
 
     (env_states, _), records = jax.lax.scan(
-        block_fn, (env_states, key), jnp.arange(num_blocks))
+        block_fn, (env_states, key), jnp.arange(num_blocks),
+        unroll=env.config.block_unroll)
 
     # (num_blocks, block, B, ...) -> (S, B, ...) for per-step fields;
     # frames stays (num_blocks, B, ...)

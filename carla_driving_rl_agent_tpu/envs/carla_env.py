@@ -139,6 +139,20 @@ class CARLAEnvConfig:
     time_horizon: int = 4
     past_obs_freq: int = 4
     num_actions: int = 2            # 2 = CARLAEnv; 3 adds the reverse channel
+    # lax.scan unroll factors for the hot stepping loops (numerically
+    # identical; trades program size/compile time for per-iteration loop
+    # overhead — the measured ~6 ms/32-step-chunk scan floor).  phys_unroll
+    # applies to the inner per-block physics sub-step scan (length
+    # past_obs_freq), block_unroll to the outer blocks scan.
+    phys_unroll: int = 1
+    block_unroll: int = 1
+    # fused Pallas physics step (ops/physics_pallas.py): collapses the
+    # ~100-small-op XLA physics step into one VPU kernel + a handful of
+    # gathers.  Gated to zero-NPC/default-reward/batch%128 configs
+    # (physics_pallas.fused_step_supported); other configs silently use the
+    # vmapped XLA path.  Numerics match to ULPs (Mosaic transcendentals) —
+    # see tests/test_physics_fused.py.
+    fused_step: bool = False
 
     @property
     def image_shape(self) -> Tuple[int, int, int]:
@@ -322,16 +336,25 @@ class CARLAEnv:
         from carla_driving_rl_agent_tpu.ops import rasterizer_pallas as RP
         cfg = self.config
         interpret = jax.default_backend() != "tpu"
-        # static bound on the actor slots this config can ever populate:
-        # the geometry pack lays out [vehicle rows, pedestrian rows, zero
-        # padding], so the kernel only unrolls the head of the slot list
-        n_actors = (min(RP.K_ACTORS // 2, self.params.v_max)
-                    + min(RP.K_ACTORS // 2, self.params.p_max))
         return RP.render_planes_banked(self.town, world,
                                        self.weather_params[world.weather_id],
                                        interpret=interpret,
                                        return_depth=cfg.stack_depth,
-                                       n_actors=n_actors)
+                                       n_actors=self._static_n_actors())
+
+    def _static_n_actors(self) -> int:
+        """Static bound on the actor slots this config can ever populate:
+        the geometry pack lays out [vehicle rows, pedestrian rows, zero
+        padding], so the kernel only unrolls the head of the slot list.
+        Zero-NPC configs (bench, stage-s1) can never activate ANY slot —
+        the kernel skips the actor loop and the pack's actor block is a
+        constant (the NPC tick is already statically skipped in
+        world.step_world for the same configs)."""
+        from carla_driving_rl_agent_tpu.ops import rasterizer_pallas as RP
+        if self.params.num_vehicles == 0 and self.params.num_pedestrians == 0:
+            return 0
+        return (min(RP.K_ACTORS // 2, self.params.v_max)
+                + min(RP.K_ACTORS // 2, self.params.p_max))
 
     def frame_obs(self, world: WorldState):
         vec = world_mod.vector_observation(world, self.params, self.town, self.routes)
@@ -526,6 +549,10 @@ class CARLAEnv:
             stack_slot=jnp.asarray(T - 1, jnp.int32))
 
     def step_physics_batch(self, states: EnvState, actions: jax.Array):
+        if self.config.fused_step:
+            from carla_driving_rl_agent_tpu.ops import physics_pallas as PP
+            if PP.fused_step_supported(self.params, states.world.x.shape[0]):
+                return PP.step_physics_batch_fused(self, states, actions)
         return jax.vmap(self.step_physics)(states, actions)
 
     def _push_block_vectors(self, state: EnvState, was_reset: jax.Array,
@@ -572,11 +599,11 @@ class CARLAEnv:
             # see rasterizer_pallas.render_tiles_grid)
             from carla_driving_rl_agent_tpu.ops import rasterizer_pallas as RP
             interpret = jax.default_backend() != "tpu"
-            n_actors = (min(RP.K_ACTORS // 2, self.params.v_max)
-                        + min(RP.K_ACTORS // 2, self.params.p_max))
+            n_actors = self._static_n_actors()
             geoms = jax.vmap(
                 lambda w: RP.pack_geometry_banked(
-                    self.town, w, self.weather_params[w.weather_id])
+                    self.town, w, self.weather_params[w.weather_id],
+                    n_actors=n_actors)
             )(states.world)
             planes = RP.render_tiles_grid(geoms, g_block=G,
                                           interpret=interpret,

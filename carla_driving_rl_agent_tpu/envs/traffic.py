@@ -96,6 +96,24 @@ def light_phase_state(sim_time: jax.Array, phase_offset: jax.Array,
     return state.astype(jnp.int32)
 
 
+def zero_npcs(v_max: int, p_max: int) -> NPCState:
+    """Constant all-zero NPC state for statically-NPC-free configs (bench,
+    stage s1): with num_vehicles == num_pedestrians == 0 every slot's
+    active mask is 0 forever, and inactive slot payloads are unobservable —
+    collision_check masks them out, the render pack's actor rows carry
+    ok=0 (and n_actors=0 skips them entirely), and step_npcs is statically
+    skipped.  Skipping init_npcs' spawn sampling removes ~10 RNG/gather ops
+    from EVERY merged auto-reset step; the sibling k_npc key is simply
+    unused (other reset keys are unaffected — split keys are independent)."""
+    return NPCState(
+        veh_xy=jnp.zeros((v_max, 2)), veh_yaw=jnp.zeros(v_max),
+        veh_v=jnp.zeros(v_max), veh_wp=jnp.zeros(v_max, jnp.int32),
+        veh_active=jnp.zeros(v_max),
+        ped_xy=jnp.zeros((p_max, 2)), ped_goal=jnp.zeros((p_max, 2)),
+        ped_speed=jnp.zeros(p_max), ped_active=jnp.zeros(p_max),
+        ped_cross=jnp.zeros(p_max))
+
+
 def init_npcs(key: jax.Array, town, town_id: jax.Array,
               num_vehicles: int, num_pedestrians: int,
               ego_xy: jax.Array, v_max: int, p_max: int,

@@ -205,11 +205,23 @@ def build_world_data(params: WorldParams) -> Tuple[TownDev, RoutesDev]:
             origin_spawns=list(params.origin_spawns) if params.origin_spawns else None,
             seed=params.seed)
         banks.append(rb)
+    xy_s = np.stack([b.xy for b in banks])            # (T, R, L, 2)
+    yaw_s = np.stack([b.yaw for b in banks])          # (T, R, L)
+    len_s = np.stack([b.length for b in banks])       # (T, R)
+    xyy = np.concatenate(
+        [xy_s, yaw_s[..., None], np.zeros_like(yaw_s[..., None])],
+        axis=-1).astype(np.float32)                   # (T, R, L, 4)
+    end_idx = np.maximum(len_s.astype(np.int64) - 1, 0)
+    end_xy = np.take_along_axis(
+        xy_s, end_idx[..., None, None].repeat(2, -1), axis=2)[:, :, 0]
     routes = RoutesDev(
-        xy=jnp.asarray(np.stack([b.xy for b in banks])),
-        yaw=jnp.asarray(np.stack([b.yaw for b in banks])),
+        xy=jnp.asarray(xy_s),
+        yaw=jnp.asarray(yaw_s),
         option=jnp.asarray(np.stack([b.option for b in banks])),
-        length=jnp.asarray(np.stack([b.length for b in banks])),
+        length=jnp.asarray(len_s),
+        xyy=jnp.asarray(xyy),
+        start=jnp.asarray(xyy[:, :, 0]),
+        end_xy=jnp.asarray(end_xy.astype(np.float32)),
     )
     return town, routes
 
@@ -222,15 +234,12 @@ _route_fns = route_mod.make_route_functions(window=10)
 ROUTE_WINDOW = 16
 
 
-def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
-                routes: RoutesDev, episode: jax.Array | int = 0,
-                town_select: jax.Array | int = -1) -> WorldState:
-    """Fresh episode: sample town/weather/route, spawn ego + NPCs.
-
-    Mirrors the reference's reset pipeline (`environment.py:226-242,487-529` +
-    `core/carla_env.py:204-221`); the 30-frame physics settling skip
-    (`environment.py:409-415`) has no analogue — kinematic spawns are at rest.
-    """
+def _reset_draws(key: jax.Array, params: WorldParams, town: TownDev,
+                 routes: RoutesDev, town_select: jax.Array | int = -1):
+    """The RNG draws + gathers of a fresh episode, shared verbatim between
+    reset_world and the fused physics step so both produce bitwise-identical
+    reset values.  Returns (town_id, weather_id, route_id, ego_xy, ego_yaw,
+    sim_time, k_npc, k_state)."""
     k_town, k_weather, k_route, k_npc, k_time, k_state = jax.random.split(key, 6)
 
     n_towns = len(params.town_names)
@@ -247,19 +256,38 @@ def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
     weather_id = w_ids[jax.random.randint(k_weather, (), 0, len(params.weather_ids))]
 
     route_id = jax.random.randint(k_route, (), 0, routes.xy.shape[1])
-    # point gathers, NOT routes.xy[town_id, route_id][0]: reset_world runs
-    # merged into EVERY auto-reset step, and a full-route gather per world
-    # per step is the dominant TPU cost (~1 gathered element/cycle)
-    ego_xy = tgather(routes.xy, town_id, route_id, 0)
-    ego_yaw = tgather(routes.yaw, town_id, route_id, 0)
-
-    npc = traffic.init_npcs(k_npc, town, town_id, params.num_vehicles,
-                            params.num_pedestrians, ego_xy,
-                            v_max=params.v_max, p_max=params.p_max,
-                            crossing=params.ped_crossing,
-                            running=params.ped_running)
-
+    # ONE packed row gather, NOT routes.xy[town_id, route_id][0]: reset_world
+    # runs merged into EVERY auto-reset step, and a full-route gather per
+    # world per step is the dominant TPU cost (~1 gathered element/cycle)
+    s_row = tgather(routes.start, town_id, route_id)   # [x0, y0, yaw0, 0]
     sim_time = jax.random.uniform(k_time, ()) * traffic.LIGHT_CYCLE
+    return (town_id, weather_id, route_id.astype(jnp.int32),
+            s_row[:2], s_row[2], sim_time, k_npc, k_state)
+
+
+def reset_world(key: jax.Array, params: WorldParams, town: TownDev,
+                routes: RoutesDev, episode: jax.Array | int = 0,
+                town_select: jax.Array | int = -1) -> WorldState:
+    """Fresh episode: sample town/weather/route, spawn ego + NPCs.
+
+    Mirrors the reference's reset pipeline (`environment.py:226-242,487-529` +
+    `core/carla_env.py:204-221`); the 30-frame physics settling skip
+    (`environment.py:409-415`) has no analogue — kinematic spawns are at rest.
+    """
+    (town_id, weather_id, route_id, ego_xy, ego_yaw, sim_time, k_npc,
+     k_state) = _reset_draws(key, params, town, routes, town_select)
+
+    if params.num_vehicles == 0 and params.num_pedestrians == 0:
+        # static skip (exact — see traffic.zero_npcs): reset_world runs
+        # merged into EVERY auto-reset step, and the spawn sampling was
+        # ~10 RNG/gather ops per step for permanently-inactive slots
+        npc = traffic.zero_npcs(params.v_max, params.p_max)
+    else:
+        npc = traffic.init_npcs(k_npc, town, town_id, params.num_vehicles,
+                                params.num_pedestrians, ego_xy,
+                                v_max=params.v_max, p_max=params.p_max,
+                                crossing=params.ped_crossing,
+                                running=params.ped_running)
 
     return WorldState(
         x=ego_xy[0], y=ego_xy[1], yaw=ego_yaw, v=jnp.zeros(()),
@@ -346,15 +374,19 @@ def step_world(state: WorldState, action: jax.Array, params: WorldParams,
     rem = r_len - state.wp_idx                  # >= 1: wp_idx <= r_len - 1
     offs = jnp.minimum(jnp.arange(ROUTE_WINDOW), rem - 1)
     w_ids = state.wp_idx + offs
-    w_xy = tgather(routes.xy, state.town_id, state.route_id, w_ids)
-    w_yaw = tgather(routes.yaw, state.town_id, state.route_id, w_ids)
+    # ONE packed [x, y, yaw, 0] row gather for the window (xy + yaw used to
+    # be two separate gathers), and the per-route destination comes from the
+    # materialized end-point table instead of re-gathering the polyline
+    w_row = tgather(routes.xyy, state.town_id, state.route_id, w_ids)
+    w_xy = w_row[:, :2]
+    w_yaw = w_row[:, 2]
     pos = jnp.stack([x, y])
     local_idx = _route_fns["update_index"](w_xy, rem,
                                            jnp.zeros((), jnp.int32), pos)
     wp_idx = (state.wp_idx + local_idx).astype(jnp.int32)
     similarity = _route_fns["similarity"](w_yaw, local_idx, yaw)
     d_next = _route_fns["distance_to_next"](w_xy, local_idx, pos)
-    end_xy = tgather(routes.xy, state.town_id, state.route_id, r_len - 1)
+    end_xy = tgather(routes.end_xy, state.town_id, state.route_id)
     d_dest = jnp.linalg.norm(end_xy - pos)
 
     # --- collisions (core/carla_env.py:254-269) ---
@@ -488,7 +520,8 @@ def navigation_features(state: WorldState, params: WorldParams,
     r_len = tgather(routes.length, state.town_id, state.route_id)
     rem = r_len - state.wp_idx
     offs = jnp.minimum(jnp.arange(amount), rem - 1)
-    w_xy = tgather(routes.xy, state.town_id, state.route_id, state.wp_idx + offs)
+    w_xy = tgather(routes.xyy, state.town_id, state.route_id,
+                   state.wp_idx + offs)[:, :2]
     pos = jnp.stack([state.x, state.y])
     dists = _route_fns["next_waypoint_distances"](
         w_xy, rem, jnp.zeros((), jnp.int32), pos, amount)

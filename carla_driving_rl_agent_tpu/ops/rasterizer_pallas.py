@@ -349,7 +349,8 @@ def pack_geometry(inputs: R.RenderInputs) -> jax.Array:
     return jnp.pad(geom, (0, GEOM_PAD - geom.shape[0])).astype(jnp.float32)
 
 
-def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
+def pack_geometry_banked(town, world, weather: jax.Array,
+                         n_actors: int = K_ACTORS) -> jax.Array:
     """Geometry pack straight from the stacked town bank (TownDev) + world
     state.  The whole STATIC prefix of the pack (nearest segments, buildings
     and junctions) is materialized per CELL_RES cell at bank build
@@ -371,6 +372,13 @@ def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
     static_prefix = tgather(town.cell_geom, tid, cy, cx)     # (96,) one gather
 
     npc = world.npc
+    if n_actors == 0:
+        # zero-NPC configs (bench, stage-s1): no slot can ever activate, the
+        # kernel statically skips the actor loop, and the whole actor block
+        # of the pack is a constant — skip the per-world nearest-k/row build
+        actors = jnp.zeros((K_ACTORS, 8))
+        return _assemble_geom(static_prefix, actors, ego_xy, world, weather,
+                              town, tid)
     kv = K_ACTORS // 2
     v_idx = R._nearest_k(npc.veh_xy, ego_xy, npc.veh_active > 0,
                          min(kv, npc.veh_xy.shape[0]))
@@ -396,6 +404,12 @@ def pack_geometry_banked(town, world, weather: jax.Array) -> jax.Array:
         actors = jnp.concatenate(
             [actors, jnp.zeros((K_ACTORS - actors.shape[0], 8))], axis=0)
 
+    return _assemble_geom(static_prefix, actors, ego_xy, world, weather,
+                          town, tid)
+
+
+def _assemble_geom(static_prefix, actors, ego_xy, world, weather, town, tid):
+    from carla_driving_rl_agent_tpu.envs.dynamics import tgather
     geom = jnp.concatenate([
         static_prefix.reshape(-1),        # segs(48) + blds(40) + juncs(8)
         actors.reshape(-1),
@@ -526,7 +540,7 @@ def render_planes_banked(town, world, weather: jax.Array,
     """Production render epilogue for planar storage: cell-table geometry
     pack + kernel + tile_to_planes — returns (C, 45, 180) uint8, no
     upsample (see tile_to_planes)."""
-    geom = pack_geometry_banked(town, world, weather)
+    geom = pack_geometry_banked(town, world, weather, n_actors=n_actors)
     planes = render_tile(geom, interpret=interpret, n_actors=n_actors,
                          with_depth=return_depth)
     return tile_to_planes(planes, with_depth=return_depth)
@@ -549,7 +563,7 @@ def render_cameras_banked(town, world, weather: jax.Array, height: int = 90,
     """Fast production path: cell-table geometry pack (no top_k, fused
     bank gathers) + the same kernel.  `n_actors` statically bounds the
     unrolled actor loop to the slots this env config can populate."""
-    geom = pack_geometry_banked(town, world, weather)
+    geom = pack_geometry_banked(town, world, weather, n_actors=n_actors)
     planes = render_tile(geom, interpret=interpret, n_actors=n_actors,
                          with_depth=return_depth)
     return tile_to_image(planes, out_h=height, out_w=width,
