@@ -215,6 +215,17 @@ def main():
                      * 3 * 2)
         env_extra["env_hbm_util_floor_img"] = round(img_bytes / dt / peak_bw, 4)
 
+    # Env-only A/B mode (scripts/run_r6_env_ab.sh): skip the secondary train
+    # bench entirely — each skipped run avoids a fresh 15-25 min train
+    # compile AND the worker-wedging hazard of abandoning that compile at
+    # the 900 s bound (killing a TPU client mid-compile wedges the worker,
+    # CLAUDE.md round-4 escalation).  The driver's round-end bench runs
+    # without this knob and still reports the train numbers.
+    import os as _os
+    if _os.environ.get("CDRL_SKIP_TRAIN_BENCH"):
+        _mark("train bench skipped (CDRL_SKIP_TRAIN_BENCH)")
+        return
+
     # The remote worker can wedge between programs (observed: device ops
     # hang forever at ~0%% CPU); a hung train bench must not block the
     # process, so it runs on a daemon thread with a hard wall-clock bound.

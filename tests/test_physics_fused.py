@@ -68,13 +68,32 @@ def _rollout(env, steps=30, seed=3):
 def test_fused_gate_and_fallback(envs):
     ref_env, fz_env = envs
     from carla_driving_rl_agent_tpu.ops.physics_pallas import (
-        fused_step_supported)
+        _lane_shape, fused_step_supported)
     assert fused_step_supported(fz_env.params, 128)
-    assert not fused_step_supported(fz_env.params, 100)      # batch gate
+    assert fused_step_supported(fz_env.params, 32)           # train geometry
     assert not fused_step_supported(
         _mk_env(True, num_vehicles=2, v_max=2).params, 128)  # NPC gate
     assert not fused_step_supported(
         _mk_env(True, reward_mode="shaped").params, 128)     # reward gate
+    assert _lane_shape(1024) == (8, 128)
+    assert _lane_shape(32) == (1, 32)
+
+
+def test_fused_small_batch_matches_xla(envs):
+    """The (1, B) lane layout (train's 32-world geometry) must match too."""
+    ref_env, fz_env = envs
+    global B
+    b_saved = B
+    B = 32
+    try:
+        s_ref, r_ref = _rollout(ref_env, steps=24, seed=7)
+        s_fz, r_fz = _rollout(fz_env, steps=24, seed=7)
+    finally:
+        B = b_saved
+    np.testing.assert_array_equal(np.asarray(r_ref["was_reset"]),
+                                  np.asarray(r_fz["was_reset"]))
+    np.testing.assert_allclose(np.asarray(r_ref["reward"]),
+                               np.asarray(r_fz["reward"]), rtol=0, atol=1e-5)
 
 
 def test_fused_rollout_matches_xla(envs):
