@@ -110,6 +110,14 @@ VARIANTS = {
     "twostep-f32-punit": dict(two_step_update=True, fused_units=True),
     # per-phase backbone Adam states — the chain-gate-failure fix candidate
     "twostep-split-f32": dict(two_step_split_adam=True),
+    # round-6 ENV-side levers inside the real train program (env_ keys
+    # route to CARLAEnvConfig): the fused Pallas physics step collapses the
+    # op-count-bound 32-world rollout's ~100 dispatches/step into one
+    # kernel; the unrolls attack the scan floor.  Rollout semantics
+    # unchanged (tests/test_physics_fused.py: exact ids, 1e-5 floats).
+    "seq-f32-fusedstep": dict(env_fused_step=True),
+    "seq-f32-fusedstep-unroll": dict(env_fused_step=True, env_phys_unroll=4,
+                                     env_block_unroll=2),
 }
 
 
@@ -125,12 +133,15 @@ def run_variant(name: str, overrides: dict, tiny: bool) -> dict:
     from carla_driving_rl_agent_tpu.envs.world import WorldParams
 
     num_envs, steps = (4, 16) if tiny else (32, 512)
+    overrides = dict(overrides)
+    env_kwargs = {k[4:]: overrides.pop(k)
+                  for k in list(overrides) if k.startswith("env_")}
     env = CARLAEnv(CARLAEnvConfig(
         world=WorldParams(town_names=("Town03",), num_routes=64,
                           max_route_len=512, max_timesteps=512,
                           num_vehicles=0, num_pedestrians=0, v_max=1, p_max=1),
         image_height=90, image_width=120, render_mode="pallas",
-        time_horizon=4, past_obs_freq=4))
+        time_horizon=4, past_obs_freq=4, **env_kwargs))
     cfg_kwargs = dict(num_envs=num_envs, rollout_steps=steps,
                       batch_size=8 if tiny else 64, seed=0)
     cfg_kwargs.update(overrides)
